@@ -1,0 +1,445 @@
+"""Deduplication operators over the ``documents`` table: exact,
+normalized-exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup.
+
+Absent from the reference (SURVEY.md §2.9); required by the
+BASELINE.json north star (LLM-data-pipeline operators).
+
+Design for 100 TB:
+* Signatures (minhash / simhash / fingerprints) are computed **per-row
+  with higher-order array functions** — no explode, no shuffle, no
+  Python. A 100 TB corpus streams through map tasks once.
+* The only shuffles are (a) groupBy on a 32-char md5 key (not the
+  document text — keys are constant-width regardless of doc size) and
+  (b) the LSH band self-join, which is the textbook near-dup join:
+  candidates meet only inside a band bucket, never all-pairs.
+* Cross-engine hashing is md5-based (functions/text_funcs.py) so every
+  stage has a DuckDB oracle twin.
+
+The corpus has no natural duplicates (driver data is seeded-random), so
+each query first unions in a deterministic set of transformed copies of
+every 25th document (exact / token-reversed / 2-tokens-dropped) — the
+pipeline then provably finds exactly those planted pairs. The oracle
+plants the same copies in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
+    norm_fingerprint_col,
+    tokens_col,
+)
+from gresearch_parquet_benchmarking_spark.operators.registry import query
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+INJECT_EVERY = 25          # plant a transformed copy of every k-th doc
+INJECT_OFFSET = 1_000_000  # planted copies get doc_id + offset
+N_MINHASH = 8              # minhash permutations
+N_BANDS = 4                # LSH bands (2 rows per band)
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# Corpus builders (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+def _corpus(spark: SparkSession, sf_dir: str, transform: str) -> DataFrame:
+    """documents ∪ planted copies. transform ∈ exact|reversed|neardup."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    toks = tokens_col("text")
+    if transform == "exact":
+        mutated = F.col("text")
+    elif transform == "reversed":
+        mutated = F.concat_ws(" ", F.reverse(toks))
+    elif transform == "neardup":
+        mutated = F.concat_ws(" ", F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))))
+    else:
+        raise ValueError(transform)
+    planted = (
+        doc.filter(F.col("doc_id") % INJECT_EVERY == 0)
+        .select(
+            (F.col("doc_id") + INJECT_OFFSET).alias("doc_id"),
+            mutated.alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    return doc.unionByName(planted)
+
+
+def _sql_corpus(transform: str) -> str:
+    mutated = {
+        "exact": "text",
+        "reversed": "array_to_string(list_reverse(string_split(text, ' ')), ' ')",
+        "neardup": "array_to_string(string_split(text, ' ')[3:], ' ')",
+    }[transform]
+    return f"""
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + {INJECT_OFFSET}, {mutated}, lang, source
+    FROM documents WHERE doc_id % {INJECT_EVERY} = 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_sql_corpus('exact')})
+    SELECT md5(text) AS content_key,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    ORDER BY keeper_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on md5(text) (constant-width shuffle key — at
+    100 TB the text itself never crosses the wire), keep min doc_id.
+    Planted exact copies collapse to n_copies=2."""
+    corpus = _corpus(spark, sf_dir, "exact")
+    return (
+        corpus.groupBy(F.md5("text").alias("content_key"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH corpus AS ({_sql_corpus('reversed')})
+    SELECT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS norm_key,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY keeper_doc_id
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: the planted copies are
+    token-REVERSED, so raw md5 misses them but the sorted-token
+    fingerprint catches every planted pair (and only those)."""
+    corpus = _corpus(spark, sf_dir, "reversed")
+    return (
+        corpus.groupBy(norm_fingerprint_col("text").alias("norm_key"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingles(toks: Column) -> Column:
+    """Token 3-gram shingles as strings (distinct)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)),
+    )
+    return F.array_distinct(F.when(n >= 3, grams).otherwise(F.array()))
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, GREATEST(LEN(toks) - 1, 1)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _minhash(shingles: Column, seed: int) -> Column:
+    """min over shingles of a 32-bit md5-derived hash, seeded. Pure
+    per-row array fold — no shuffle."""
+    return F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), s)), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+    )
+
+
+def _sql_minhash(seed: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, "
+        f"s -> ('0x' || substr(md5('{seed}' || '|' || s), 1, 8))::BIGINT))"
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH corpus AS ({_sql_corpus('neardup')}),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+    )
+    SELECT doc_id,
+           {", ".join(f"{_sql_minhash(h)} AS mh{h}" for h in range(N_MINHASH))}
+    FROM sh
+    ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 permutations over 3-gram
+    shingles). Entirely map-side."""
+    corpus = _corpus(spark, sf_dir, "neardup")
+    sh = corpus.select("doc_id", _shingles(tokens_col("text")).alias("shingles"))
+    return sh.select(
+        "doc_id",
+        *[_minhash(F.col("shingles"), h).alias(f"mh{h}") for h in range(N_MINHASH)],
+    ).orderBy("doc_id")
+
+
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir, "neardup")
+    sh = corpus.select(
+        "doc_id", _shingles(tokens_col("text")).alias("shingles")
+    )
+    return sh.select(
+        "doc_id",
+        "shingles",
+        *[_minhash(F.col("shingles"), h).alias(f"mh{h}") for h in range(N_MINHASH)],
+    )
+
+
+_SQL_SIG = f"""
+    corpus AS ({_sql_corpus('neardup')}),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+    ),
+    sig AS (
+        SELECT doc_id, shingles,
+               {", ".join(f"{_sql_minhash(h)} AS mh{h}" for h in range(N_MINHASH))}
+        FROM sh
+    )
+"""
+
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, shingles, {b} AS band, mh{2 * b} AS k1, mh{2 * b + 1} AS k2 FROM sig"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SIG},
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → band buckets
+    (4 bands × 2 hashes) → candidate pairs via band self-join → exact
+    shingle-Jaccard ≥ 0.5 verification.
+
+    Scale: candidates only meet inside a band bucket — the self-join
+    shuffles on (band, k1, k2), never all-pairs. Verification re-joins
+    the shingle arrays for candidates only (a tiny fraction of the
+    corpus)."""
+    # Persist the signatures: they feed the band join twice and the
+    # verification join twice — without persist Spark recomputes the
+    # full md5 pipeline per branch (~10×). At 100 TB this materializes
+    # as a signature table (checkpoint/write); persist is the local
+    # analog.
+    sig = _signature_df(spark, sf_dir).persist()
+    # bands via a single posexplode over an array of (band,k1,k2)
+    # structs — one pass over sig instead of an N_BANDS-way union
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("k1"),
+                F.col(f"mh{2 * b + 1}").alias("k2"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.k1", "bk.k2"
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "k1", "k2"
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"),
+        F.col("k1").alias("k1_b"), F.col("k2").alias("k2_b"),
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("k1") == F.col("k1_b"))
+            & (F.col("k2") == F.col("k2_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({_sql_corpus('neardup')}),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+        FROM corpus
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h // {1 << b}) % 2 = 1 "
+                   f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+                   for b in range(SIMHASH_BITS)
+               )} AS BIGINT) AS simhash
+        FROM hashed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b
+      ON a.doc_id + {INJECT_OFFSET} = b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct-token hashes, then near-dup check of
+    each planted (original, copy) pair at Hamming distance ≤ 3. The
+    signature is a pure per-row fold (no shuffle); the pair join is an
+    equi-join on doc_id."""
+    corpus = _corpus(spark, sf_dir, "neardup")
+    th = F.transform(
+        F.array_distinct(tokens_col("text")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    def _vote(bit: int):
+        # factory closure: F.aggregate's merge lambda must take exactly
+        # (acc, x) — extra params are misread as the index argument
+        return F.aggregate(
+            F.col("th"),
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.floor(h / (1 << bit)) % 2 == 1, 1).otherwise(-1),
+        )
+
+    bit_terms = [
+        F.when(_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)
+    ]
+    simhash = sum(bit_terms[1:], bit_terms[0]).cast("bigint")
+    sim = corpus.select("doc_id", th.alias("th")).select(
+        "doc_id", simhash.alias("simhash")
+    )
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b_ = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint")
+    return (
+        a.join(b_, F.col("doc_a") + INJECT_OFFSET == F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_sql_corpus('neardup')}),
+    sh AS (
+        SELECT doc_id, lang, source, {_SQL_SHINGLES} AS shingles
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM corpus)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise 3-gram Jaccard: candidate pairs only within the
+    same (lang, source) block — the blocking key is the shuffle key, so
+    the quadratic blowup is bounded per block, never corpus-wide."""
+    corpus = _corpus(spark, sf_dir, "neardup")
+    sh = corpus.select(
+        "doc_id", "lang", "source", _shingles(tokens_col("text")).alias("shingles")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,104 @@
+"""Query registry: the engine's oracle-checked operator surface.
+
+Every operator from SURVEY.md §2 (and the LLM-pipeline extensions) is a
+named entry: a PySpark builder ``(spark, sf_dir) -> DataFrame`` plus —
+when SQL-expressible — an equivalent DuckDB SQL string. The driver's
+correctness harness runs both and hash-compares results.
+
+Determinism contract (critical for the value-hash gate):
+
+* Floating-point SUMs are order-dependent in IEEE double; Spark's
+  partial aggregation order differs from DuckDB's. Every money/quantity
+  sum therefore goes through an exact DECIMAL accumulator and is cast
+  back to DOUBLE: ``CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE)``.
+  Decimal addition is associative ⇒ identical bits on both engines.
+  Per-row double arithmetic (products, subtractions) is IEEE-identical
+  across engines, so casting the *result* of a row expression is safe.
+* AVG is built as exact-decimal-sum / count (double division of two
+  deterministic doubles).
+* Timestamps are never emitted raw (session-TZ vs naive pitfalls):
+  outputs use DATE or epoch integers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is the DuckDB-SQL twin.
+
+    Omit ``oracle`` only for genuinely non-SQL-expressible operators
+    (MinHash-LSH banding, streaming state) — the driver then records a
+    weaker rows-only check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(QUERIES)
+
+
+def all_oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(ORACLE_SQL)
+
+
+def _ensure_loaded() -> None:
+    # Import for registration side effects; idempotent.
+    from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
+        relational,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        report,
+    )
+    from gresearch_parquet_benchmarking_spark.streaming import events_stream  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-aggregate helpers (see module docstring).
+# ---------------------------------------------------------------------------
+
+def dsum(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
+    """Order-independent SUM of a double column via DECIMAL accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum / count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def sql_dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )

@@ -1,0 +1,268 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d):
+brute-force cosine top-k as the baseline, IVF (centroid-bucketed) as
+the scale path, plus within-cluster near-duplicate detection.
+
+Scale design:
+* Brute-force: the tiny QUERY set is broadcast; the corpus streams
+  through map tasks computing cosines with built-in higher-order
+  functions (zip_with/aggregate — JVM codegen, no Python). Top-k per
+  query via window row_number = partial top-k before the shuffle.
+  100 TB of vectors scan once; nothing quadratic materializes.
+* IVF: centroids (≪ corpus) are computed once and broadcast; every
+  vector is assigned to its nearest centroid map-side; a query then
+  probes only its own bucket (nprobe=1). The candidate join is an
+  equi-join on the bucket id.
+
+Float determinism: cosines are folded left-to-right in double on both
+engines and only compared/ranked raw, emitted rounded to 6 decimals
+(registry.py contract; double fold error ~1e-15 ≪ round unit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.functions.vector import (
+    cosine_similarity,
+    l2_norm,
+    to_double_array,
+)
+from gresearch_parquet_benchmarking_spark.operators.registry import query
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+N_QUERIES = 10   # vec_id < 10 are the query vectors
+TOP_K = 5
+NEARDUP_COS = 0.30
+
+_SQL_DOT = "list_dot_product(a.v, b.v)"
+_SQL_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", to_double_array("embedding").alias("v"))
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2,
+           CAST(LEN(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + dimensionality — the sanity scan every
+    vector pipeline starts with. Pure map-side."""
+    vec = _vectors(spark, sf_dir)
+    return (
+        vec.select(
+            "vec_id",
+            "label",
+            F.round(l2_norm(F.col("v")), 6).alias("l2"),
+            F.size("v").cast("long").alias("dim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_SQL_COS} AS cos
+        FROM vecs a JOIN vecs b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each of the 10 query vectors. The query
+    set is broadcast; the corpus is scanned once."""
+    vec = _vectors(spark, sf_dir)
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vec.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_cosine_neardup",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND({_SQL_COS}, 6) AS cos
+    FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= {NEARDUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cluster label
+    (the blocking key bounds the pairwise blowup — same pattern as
+    dedup_ngram_jaccard)."""
+    vec = _vectors(spark, sf_dir)
+    a = vec.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = vec.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    )
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM vecs
+    ),
+    centroid_dims AS (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM flat GROUP BY label, i
+    ),
+    centroids AS (
+        SELECT label AS c_label, list(cx ORDER BY i) AS cv
+        FROM centroid_dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, label, v, c_label,
+               list_dot_product(v, cv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY list_dot_product(v, cv) /
+                                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                                    DESC, c_label) AS crank
+        FROM vecs CROSS JOIN centroids
+    ),
+    bucketed AS (SELECT vec_id, v, c_label AS bucket FROM assigned WHERE crank = 1),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+               {_SQL_COS} AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, bucket, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(bucket AS INT) AS bucket,
+           ROUND(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor (nprobe=1): centroids = exact
+    per-label mean vectors (decimal-summed per dimension → identical
+    across engines), every vector assigned to its nearest centroid,
+    queries probe only their own bucket.
+
+    At 100 TB: centroids are a broadcast table; bucket assignment is
+    map-side; the candidate join shuffles on the bucket id only."""
+    vec = _vectors(spark, sf_dir)
+
+    # centroids: posexplode → per (label, dim) exact decimal mean → array
+    flat = vec.select("label", F.posexplode("v").alias("i", "x"))
+    centroid_dims = flat.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("cx")
+    )
+    centroids = (
+        centroid_dims.groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("c_label", F.transform("pairs", lambda p: p["cx"]).alias("cv"))
+    )
+
+    ccos = cosine_similarity(F.col("v"), F.col("cv"))
+    wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_label"))
+    bucketed = (
+        vec.crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wassign))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", F.col("c_label").alias("bucket"))
+    )
+
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    cand = bucketed.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "bucket", "bucket_b"
+    )
+    scored = (
+        cand.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

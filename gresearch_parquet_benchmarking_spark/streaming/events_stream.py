@@ -1,0 +1,154 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming of any kind (SURVEY.md §2.9); this is
+engine extension surface. Each operator is a real readStream →
+transform → writeStream pipeline driven to completion synchronously
+over the parquet file (memory sink + processAllAvailable), so the
+driver's batch-style harness can hash the result. At 100 TB the same
+code points at a Kafka/object-store source — only the reader changes.
+
+Late-data posture: the batch-driven runs use complete/update modes with
+watermarks declared, so the same query deployed against an unbounded
+source gets state eviction for free.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gresearch_parquet_benchmarking_spark.operators.registry import query, sql_dsum
+from gresearch_parquet_benchmarking_spark.sources.tables import table_path
+
+# Parquet schema with nanos-as-long (sources/events.py rationale).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource needs a directory; glob-filter down to the one table
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
+    """Drive the streaming query over all available input, return the
+    materialized result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
+
+
+@query(
+    "stream_hourly_counts",
+    oracle=f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start_us, event_type
+    """,
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a 1-hour watermark,
+    run as a stream to completion. Oracle: the equivalent batch
+    GROUP BY date_trunc — streaming and batch must agree exactly."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return (
+        out.select(
+            F.unix_micros(F.col("window.start")).alias("hour_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour_start_us", "event_type")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts_us, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap) via
+    F.session_window — Spark's stateful session operator. The oracle
+    recomputes sessions with the batch lag/cumsum formulation: the two
+    definitions provably agree (a session extends while gaps ≤ 30 min).
+    """
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts_ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return (
+        out.select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )

@@ -1,0 +1,56 @@
+"""Semantic tests for the dedup suite: the planted-duplicate corpus
+(operators/dedup.py) must be provably found — exactly the planted
+pairs, no false positives at these thresholds."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from gresearch_parquet_benchmarking_spark.operators import dedup
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def n_planted(spark):
+    doc = load_table(spark, SF_SMOKE, "documents")
+    return doc.filter(doc.doc_id % dedup.INJECT_EVERY == 0).count()
+
+
+def test_exact_dedup_finds_planted(spark, n_planted):
+    out = dedup.dedup_exact(spark, SF_SMOKE).toPandas()
+    dup_groups = out[out.n_copies > 1]
+    assert len(dup_groups) == n_planted
+    assert (dup_groups.n_copies == 2).all()
+
+
+def test_normalized_dedup_finds_reversed(spark, n_planted):
+    out = dedup.dedup_exact_normalized(spark, SF_SMOKE).toPandas()
+    # reversed-token copies are invisible to raw md5 but share the
+    # sorted-token fingerprint
+    assert len(out) == n_planted
+    assert (out.n_copies == 2).all()
+
+
+def test_minhash_lsh_finds_neardups(spark, n_planted):
+    pairs = dedup.dedup_minhash_lsh(spark, SF_SMOKE).toPandas()
+    planted = pairs[pairs.doc_b == pairs.doc_a + dedup.INJECT_OFFSET]
+    # dropping 2 leading tokens keeps shingle-jaccard high; LSH with
+    # 4 bands × 2 rows recalls most planted pairs at sf0.001
+    assert len(planted) >= 0.5 * n_planted
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_simhash_pairs_close(spark, n_planted):
+    out = dedup.dedup_simhash(spark, SF_SMOKE).toPandas()
+    assert len(out) >= 0.5 * n_planted
+    assert (out.hamming <= 3).all()
+
+
+def test_ngram_jaccard_blocked(spark, n_planted):
+    pairs = dedup.dedup_ngram_jaccard(spark, SF_SMOKE).toPandas()
+    planted = pairs[pairs.doc_b == pairs.doc_a + dedup.INJECT_OFFSET]
+    # blocking is on (lang, source): every planted pair shares its
+    # original's block, so high-jaccard planted pairs are recoverable
+    assert len(planted) >= 0.5 * n_planted

@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the scale behaviors the engine depends on
+(pushdown, pruning, broadcast, codegen) must hold — these are the
+'would this survive 100×' checks, pinned."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from gresearch_parquet_benchmarking_spark.operators import relational, similarity
+from gresearch_parquet_benchmarking_spark.plans.explain import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schemas,
+    wholestage_codegen_spans,
+)
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = relational.q6_forecast_revenue(spark, SF_SMOKE)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    assert any("l_quantity" in f for f in filters), filters
+
+
+def test_column_pruning_q1(spark):
+    df = relational.q1_pricing_summary(spark, SF_SMOKE)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    # 7 needed columns, not all 11
+    assert "l_partkey" not in schemas[0]
+    assert "l_returnflag" in schemas[0]
+
+
+def test_projection_prunes_to_two_columns(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    (schema,) = scan_read_schemas(df)
+    assert schema.count(":") == 2, schema
+
+
+def test_dim_joins_broadcast(spark):
+    df = relational.q5_local_supplier_volume(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_topk_uses_window_group_limit(spark):
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    df = relational.topk_per_group(spark, SF_SMOKE)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_vector_math_stays_in_codegen(spark):
+    # higher-order-function cosine must not introduce a Python worker
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    df = similarity.embedding_norms(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q1_has_codegen(spark):
+    df = relational.q1_pricing_summary(spark, SF_SMOKE)
+    df.collect()  # AQE: codegen markers appear in the final plan
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_broadcast_hint_respected_small_dim(spark):
+    na = load_table(spark, SF_SMOKE, "nation")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = li.join(F.broadcast(na), li.l_suppkey == na.n_nationkey)
+    assert has_broadcast_join(df)
