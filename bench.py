@@ -1,13 +1,30 @@
 """Per-round benchmark entry (driver contract).
 
-Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf"}.
 
-Each query is executed once as warm-up (JIT + parquet footer cache)
-and then timed over the median of TRIALS runs — mirroring the
-reference's repeated-trial protocol (BASELINE.md §Engine comparison).
+Two sections inside "queries":
+* relational/LLM headline queries at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) — median of 3 after 1 warmup;
+* io_* micro-benchmarks re-measuring the reference's BASELINE.md
+  sections 1/2/5/7 at the same (cols × rows) points: footer decode,
+  stats decode, full/projection/single-column scans, codec
+  encode/decode. Read-path fixtures are pyarrow-generated with the
+  reference's file layout (bench/fixtures.py); write benchmarks use
+  the engine's Spark writers. Fixtures cache under
+  $ENGINE_BENCH_CACHE (default /tmp/engine_bench_cache) so later
+  rounds skip generation.
+
+BASELINE analog map (values in seconds here; BASELINE.md is ms):
+  io_meta_{N}c          ↔ §1 footer decode+schema (pyarrow, same lib family)
+  io_stats_{N}c         ↔ §5 stats decode (stats-on files)
+  io_meta_100kr_{N}c    ↔ §2 metadata decode
+  io_fullread_{N}c      ↔ §2 full table read (Spark noop sink)
+  io_fullread_arrow_{N}c↔ §2 full table read (pyarrow — reference's own API)
+  io_halfread_{N}c      ↔ §2 random half-columns read
+  io_pageread_{N}c      ↔ §2 single-column read
+  io_enc_{codec}_1000c  ↔ §7 encode (Spark write, 1000×10k)
+  io_dec_{codec}_1000c  ↔ §7 decode (Spark full read)
 """
 
 from __future__ import annotations
@@ -20,8 +37,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from gresearch_parquet_benchmarking_spark.bench.fixtures import ensure_wide_fixture  # noqa: E402
 from gresearch_parquet_benchmarking_spark.operators.registry import all_queries  # noqa: E402
 from gresearch_parquet_benchmarking_spark.session import get_spark  # noqa: E402
+from gresearch_parquet_benchmarking_spark.sources import io as eio  # noqa: E402
+from gresearch_parquet_benchmarking_spark.sources.datagen import wide_table  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -44,12 +64,106 @@ HEADLINE = [
 
 TRIALS = 3
 WARMUPS = 1
+META_COLS = (10, 100, 1000, 10000)   # BASELINE §1/§5
+READ_COLS = (10, 100, 1000)          # BASELINE §2
+READ_ROWS = 100_000
+CODECS = ("none", "snappy", "gzip", "zstd")  # BASELINE §7 minus brotli (no codec jar)
 
 
-def _run_once(fn, spark, sf_dir: str) -> float:
+def med(fn, trials=TRIALS, warmups=WARMUPS) -> float:
+    for _ in range(warmups):
+        fn()
+    return statistics.median(fn() for _ in range(trials))
+
+
+def _run_query_once(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()  # force full materialization
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    queries = all_queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        out[name] = round(med(lambda: _run_query_once(fn, spark, sf_dir)), 4)
+    return out
+
+
+def bench_io(spark) -> dict[str, float]:
+    import pyarrow.parquet as pq
+
+    # drop query-section cached data: scan benchmarks must not compete
+    # with persisted RDDs for executor memory
+    spark.catalog.clearCache()
+    out: dict[str, float] = {}
+
+    # §1 + §5: footer/schema/stats decode vs width (1 row group, 10k rows)
+    for n in META_COLS:
+        path = ensure_wide_fixture(n, 10_000)
+        out[f"io_meta_{n}c"] = round(med(lambda: eio.read_metadata_timed(path).total_s), 6)
+        out[f"io_stats_{n}c"] = round(
+            med(lambda: eio.read_metadata_timed(path).stats_decode_s), 6
+        )
+
+    # §2: read ops at 100k rows. Fixture layout matches the reference's
+    # files (10k-row groups, data_generator.cc:35) — splittable scans;
+    # 32 MB split size so a ~400 MB file parallelizes across local
+    # cores (at 100 TB the 128 MB default is right; this is per-bench
+    # scan tuning, restored after).
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+    try:
+        for n in READ_COLS:
+            path = ensure_wide_fixture(n, READ_ROWS, row_group_rows=10_000)
+            half = eio.random_half_columns(spark, path)
+            first = spark.read.parquet(path).columns[0]
+            out[f"io_meta_100kr_{n}c"] = round(
+                med(lambda: eio.read_metadata_timed(path).total_s), 6
+            )
+            out[f"io_fullread_{n}c"] = round(
+                med(lambda: eio.read_full_timed(spark, path), warmups=2), 4
+            )
+            out[f"io_fullread_arrow_{n}c"] = round(med(lambda: _arrow_read(pq, path)), 4)
+            out[f"io_halfread_{n}c"] = round(
+                med(lambda: eio.read_columns_timed(spark, path, half), warmups=2), 4
+            )
+            out[f"io_halfread_arrow_{n}c"] = round(
+                med(lambda: _arrow_read(pq, path, half)), 4
+            )
+            out[f"io_pageread_{n}c"] = round(
+                med(lambda: eio.read_single_column_timed(spark, path, first)), 4
+            )
+            out[f"io_pageread_arrow_{n}c"] = round(
+                med(lambda: _arrow_read(pq, path, [first])), 4
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+
+    # §7: codec encode/decode at 1000 cols × 10k rows. Spark-native
+    # parallel write (one file per task) — the engine's honest write
+    # path; the reference's single-file single-thread write is an
+    # artifact of its one-process design.
+    df = wide_table(spark, 1000, 10_000, n_partitions=16).persist()
+    df.count()
+    for codec in CODECS:
+        path = f"/tmp/engine_bench_write_{codec}"
+        out[f"io_enc_{codec}_1000c"] = round(
+            med(
+                lambda: eio.write_parquet(df, path, codec=codec, single_file=False).write_time_s
+            ),
+            4,
+        )
+        out[f"io_dec_{codec}_1000c"] = round(med(lambda: eio.read_full_timed(spark, path)), 4)
+    df.unpersist()
+    return out
+
+
+def _arrow_read(pq, path: str, columns=None) -> float:
+    f = eio._first_parquet_file(path)
+    t0 = time.perf_counter()
+    pq.read_table(f, columns=columns)
     return time.perf_counter() - t0
 
 
@@ -59,23 +173,19 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    queries = all_queries()
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        for _ in range(WARMUPS):
-            _run_once(fn, spark, sf_dir)
-        times = [_run_once(fn, spark, sf_dir) for _ in range(TRIALS)]
-        per_query[name] = round(statistics.median(times), 4)
+    results: dict[str, float] = {}
+    results.update(bench_queries(spark, sf_dir))
+    if os.environ.get("ENGINE_BENCH_SKIP_IO") != "1":
+        results.update(bench_io(spark))
 
-    total = round(sum(per_query.values()), 4)
+    total = round(sum(results.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "headline_query_median_total",
+                "metric": "headline_queries_plus_io_median_total",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
+                "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

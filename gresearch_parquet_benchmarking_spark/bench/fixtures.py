@@ -1,0 +1,80 @@
+"""Benchmark fixture files, generated driver-side with pyarrow.
+
+The reference generates its benchmark inputs with Arrow C++
+(/root/reference/src/data_generator.cc, test_data_generator.cc); this
+module is the same generation path through pyarrow (same library
+family), giving exact control of row-group size / page size /
+statistics so fixture layout matches the reference's files
+(e.g. one row group for the 10k-column footer benchmark —
+/root/reference/src/data_generator.cc:35 chunk_size=10000).
+
+These fixtures feed the READ-path benchmarks (what Spark does with a
+given file). WRITE-path benchmarks use the engine's Spark writers
+(sources/io.py) — writing is the behavior under test there.
+
+Fixtures are content-addressed under a persistent cache dir so
+repeated bench rounds skip regeneration (H5 skip-if-exists,
+/root/reference/src/pq_fb_ns_data_generator.cc:238-241).
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_CACHE = os.environ.get("ENGINE_BENCH_CACHE", "/tmp/engine_bench_cache")
+
+
+def fixture_path(
+    n_cols: int,
+    n_rows: int,
+    codec: str = "snappy",
+    row_group_rows: int | None = None,
+    page_size: int | None = None,
+    stats: bool = True,
+    cache_dir: str = DEFAULT_CACHE,
+) -> str:
+    rg = row_group_rows or n_rows
+    tag = f"wide_{n_cols}c_{n_rows}r_{codec}_rg{rg}_p{page_size or 'def'}_s{int(stats)}"
+    return os.path.join(cache_dir, tag + ".parquet")
+
+
+def ensure_wide_fixture(
+    n_cols: int,
+    n_rows: int,
+    codec: str = "snappy",
+    row_group_rows: int | None = None,
+    page_size: int | None = None,
+    stats: bool = True,
+    seed: int = 42,
+    cache_dir: str = DEFAULT_CACHE,
+) -> str:
+    """Generate (once) a wide float32 uniform(-1000,1000) fixture —
+    the reference's F1 shape (FIXTURES.md) — returning its path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = fixture_path(n_cols, n_rows, codec, row_group_rows, page_size, stats, cache_dir)
+    if os.path.exists(path):
+        return path
+    os.makedirs(cache_dir, exist_ok=True)
+
+    rng = np.random.RandomState(seed)
+    names = [f"col_{i}" for i in range(n_cols)]
+    # column-by-column like the reference's FloatBuilder loop, bounded memory
+    arrays = [
+        pa.array(rng.uniform(-1000, 1000, size=n_rows).astype(np.float32))
+        for _ in range(n_cols)
+    ]
+    table = pa.table(dict(zip(names, arrays)))
+    kwargs: dict = {
+        "compression": "NONE" if codec == "none" else codec.upper(),
+        "row_group_size": row_group_rows or n_rows,
+        "write_statistics": stats,
+    }
+    if page_size is not None:
+        kwargs["data_page_size"] = page_size
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, **kwargs)
+    os.replace(tmp, path)
+    return path

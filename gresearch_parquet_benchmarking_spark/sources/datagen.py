@@ -1,0 +1,111 @@
+"""Wide-table data generators — Spark-first re-expression of the
+reference's G1–G5 (SURVEY.md §2.1):
+
+* G1/G2  WriteParquetFile: N float32 cols `col_i`, uniform(-1000,1000)
+         (/root/reference/src/data_generator.cc:6-55,
+          /root/reference/src/test_data_generator.cc:8-62)
+* G3     uniform(0,100) variant (/root/reference/src/metadata_benchmark.cc:106-149)
+* G4     float64 `column_i` variant (/root/reference/src/pq_fb_ns_data_generator.cc:63-98)
+* G5     numpy variant uniform[0,1) (/root/reference/scripts/schema_full_partial_benchmark.py:8-11)
+
+One parameterized generator covers all five. Differences from the
+reference, by design:
+* Deterministic: explicit seed, per-column `F.rand(seed+i)` (the
+  reference seeds from std::random_device — not reproducible).
+* Distributed: `spark.range(n_rows, numPartitions=…)` generates
+  partitions in parallel on executors — a 10^9-row × 10^4-col table
+  generates cluster-wide with zero driver involvement, where the
+  reference builds one Arrow column at a time in a single process.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIST_PRESETS = {
+    "uniform_pm1000": (-1000.0, 1000.0),  # G1/G2 (data_generator.cc:18)
+    "uniform_0_100": (0.0, 100.0),        # G3 (metadata_benchmark.cc:117)
+    "uniform_0_1": (0.0, 1.0),            # G5 (numpy random.rand)
+}
+
+
+# Above this width, a select() of n_cols rand() expressions makes
+# Catalyst analysis + codegen the bottleneck (10k exprs ≈ 2 min);
+# the numpy path generates the same shape in seconds.
+NUMPY_PATH_MIN_COLS = 1500
+
+
+def wide_table(
+    spark: SparkSession,
+    n_cols: int,
+    n_rows: int,
+    dtype: str = "float",
+    seed: int = 42,
+    dist: str = "uniform_pm1000",
+    col_prefix: str = "col_",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """N-column wide random table. dtype='float' → G1-G3/G5 shape
+    (`col_i` float32); dtype='double', col_prefix='column_' → G4.
+
+    Expression path (moderate widths): pure Catalyst, fully
+    deterministic per (seed, row). Numpy path (very wide): Arrow-
+    batched mapInPandas, deterministic per (seed, partition layout) —
+    matching the reference's G5 numpy generator
+    (scripts/schema_full_partial_benchmark.py:8-11) but distributed.
+    """
+    lo, hi = DIST_PRESETS[dist]
+    if n_partitions is None:
+        n_partitions = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 1000 or 1))
+    if n_cols >= NUMPY_PATH_MIN_COLS:
+        return _wide_table_numpy(
+            spark, n_cols, n_rows, dtype, seed, lo, hi, col_prefix, n_partitions
+        )
+    base = spark.range(0, n_rows, numPartitions=n_partitions)
+    cols = [
+        (F.rand(seed + i) * (hi - lo) + lo).cast(dtype).alias(f"{col_prefix}{i}")
+        for i in range(n_cols)
+    ]
+    return base.select(*cols)
+
+
+def _wide_table_numpy(
+    spark: SparkSession,
+    n_cols: int,
+    n_rows: int,
+    dtype: str,
+    seed: int,
+    lo: float,
+    hi: float,
+    col_prefix: str,
+    n_partitions: int,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    np_dtype = {"float": np.float32, "double": np.float64}[dtype]
+    names = [f"{col_prefix}{i}" for i in range(n_cols)]
+    schema = ", ".join(f"`{n}` {dtype}" for n in names)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # seed from the first row id → reproducible given the same
+            # partition layout (ids are contiguous per range-partition)
+            rng = np.random.RandomState((seed + int(pdf["id"].iloc[0])) % (2**31))
+            data = rng.uniform(lo, hi, size=(len(pdf), n_cols)).astype(np_dtype)
+            yield pd.DataFrame(data, columns=names)
+
+    base = spark.range(0, n_rows, numPartitions=n_partitions)
+    return base.mapInPandas(gen, schema=schema)
+
+
+def wide_table_g4(spark: SparkSession, n_cols: int, n_rows: int, seed: int = 42) -> DataFrame:
+    """G4: `column_i` doubles (the reference declares float64 but builds
+    float32 values — pq_fb_ns_data_generator.cc:67 vs :78; we generate
+    true doubles, documenting the reference's inconsistency away)."""
+    return wide_table(
+        spark, n_cols, n_rows, dtype="double", seed=seed, col_prefix="column_"
+    )

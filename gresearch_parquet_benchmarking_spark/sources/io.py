@@ -1,0 +1,267 @@
+"""Parquet writers (S1–S4) and readers (R1–R7) — SURVEY.md §2.2/§2.3.
+
+Writers map the reference's C++ writer properties
+(/root/reference/src/metadata_benchmark.cc:137-146,
+ /root/reference/src/compression_benchmark.cc:52-64) onto Spark writer
+options / Hadoop confs. Readers map the read benchmarks
+(/root/reference/src/data_read_benchmark.cc:43-97,
+ /root/reference/src/metadata_benchmark.cc:13-79) onto DataFrame scans,
+with a driver-side pyarrow shim for the metadata-microscopy timings
+(thrift-decode vs schema-build split) that Spark's public API
+intentionally hides — same library family as the reference, so the
+numbers are comparable (SURVEY §7.3).
+
+Known gaps vs the reference, documented not papered over:
+* StatsLevel::NONE — parquet-mr always writes chunk statistics; the
+  engine benchmarks CHUNK vs PAGE dimensions only (SURVEY §2.2 S1).
+* Row-group size in ROWS — parquet-mr's knob is bytes
+  (`parquet.block.size`); `write_parquet` accepts row_group_rows and
+  converts via a measured bytes/row estimate, then
+  `rowgroup_layout()` reports what actually landed.
+* Page-granular reads (R4) — not addressable from Spark; the nearest
+  public behavior (single-column scan) is what `read_single_column`
+  measures.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CODECS = ("none", "snappy", "gzip", "zstd")  # brotli needs an extra jar; gated below
+PAGE_SIZES = (8192, 65536, 1048576, 8388608)  # metadata_benchmark.cc:270
+ROW_GROUP_ROWS = (1000, 2000, 5000, 10000)    # metadata_benchmark.cc:269
+
+
+def brotli_available(spark: SparkSession) -> bool:
+    try:
+        spark.sparkContext._jvm.Class.forName(  # type: ignore[union-attr]
+            "org.apache.hadoop.io.compress.BrotliCodec"
+        )
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Writers
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WriteResult:
+    path: str
+    write_time_s: float
+    file_bytes: int
+    options: dict = field(default_factory=dict)
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def estimate_bytes_per_row(df: DataFrame, probe_path: str, probe_rows: int = 2000) -> float:
+    """Probe write to convert row-group-rows → parquet.block.size bytes
+    (SURVEY §7.3 'row-group size in rows')."""
+    probe = df.limit(probe_rows)
+    probe.coalesce(1).write.mode("overwrite").parquet(probe_path)
+    n = probe.count()
+    return _dir_bytes(probe_path) / max(n, 1)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    codec: str = "snappy",
+    row_group_rows: int | None = None,
+    bytes_per_row: float | None = None,
+    page_size: int | None = None,
+    dictionary: bool = True,
+    single_file: bool = True,
+) -> WriteResult:
+    """S1–S4: timed parquet write with codec / row-group / page knobs.
+
+    ``single_file`` coalesces to one output file to mirror the
+    reference's single-file benchmarks; large-scale callers pass False
+    and keep one file per task.
+    """
+    writer = df.coalesce(1).write if single_file else df.write
+    writer = writer.mode("overwrite").option("compression", codec)
+    opts: dict = {"compression": codec}
+    if row_group_rows is not None:
+        if bytes_per_row is None:
+            raise ValueError("row_group_rows needs bytes_per_row (use estimate_bytes_per_row)")
+        block = max(int(row_group_rows * bytes_per_row), 64 * 1024)
+        writer = writer.option("parquet.block.size", str(block))
+        opts["parquet.block.size"] = block
+        opts["target_row_group_rows"] = row_group_rows
+    if page_size is not None:
+        writer = writer.option("parquet.page.size", str(page_size))
+        # page-size checks work against the row-count limit too
+        writer = writer.option("parquet.page.row.count.limit", str(1 << 30))
+        opts["parquet.page.size"] = page_size
+    writer = writer.option("parquet.enable.dictionary", str(dictionary).lower())
+    opts["parquet.enable.dictionary"] = dictionary
+
+    t0 = time.perf_counter()
+    writer.parquet(path)
+    dt = time.perf_counter() - t0
+    return WriteResult(path=path, write_time_s=dt, file_bytes=_dir_bytes(path), options=opts)
+
+
+# ---------------------------------------------------------------------------
+# Readers  (R1–R7)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MetadataTiming:
+    """R1/R5 splits via pyarrow (driver-side shim)."""
+    total_s: float
+    thrift_decode_s: float
+    schema_build_s: float
+    stats_decode_s: float
+    n_row_groups: int
+    n_columns: int
+    footer_bytes: int | None
+
+
+def _first_parquet_file(path: str) -> str:
+    import os
+
+    if os.path.isfile(path):
+        return path
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no parquet file under {path}")
+
+
+def read_metadata_timed(path: str) -> MetadataTiming:
+    """R1 (metadata_benchmark.cc:13-42) + R5 (:44-79): footer thrift
+    decode, Arrow schema build, and statistics decode, timed
+    separately with pyarrow."""
+    import pyarrow.parquet as pq
+
+    f = _first_parquet_file(path)
+    t0 = time.perf_counter()
+    md = pq.read_metadata(f)
+    t1 = time.perf_counter()
+    schema = md.schema.to_arrow_schema()
+    t2 = time.perf_counter()
+    stats_seen = 0
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for c in range(row_group.num_columns):
+            st = row_group.column(c).statistics
+            if st is not None and st.has_min_max:
+                stats_seen += 1
+    t3 = time.perf_counter()
+    import os
+
+    return MetadataTiming(
+        total_s=t2 - t0,
+        thrift_decode_s=t1 - t0,
+        schema_build_s=t2 - t1,
+        stats_decode_s=t3 - t2,
+        n_row_groups=md.num_row_groups,
+        n_columns=len(schema),
+        footer_bytes=os.path.getsize(f) if os.path.exists(f) else None,
+    )
+
+
+def spark_schema_timed(spark: SparkSession, path: str) -> tuple[float, int]:
+    """R1 Spark-level: footer→schema on the driver."""
+    t0 = time.perf_counter()
+    schema = spark.read.parquet(path).schema
+    return time.perf_counter() - t0, len(schema.fields)
+
+
+def read_full_timed(spark: SparkSession, path: str) -> float:
+    """R2 (data_read_benchmark.cc:56-64): full scan touching every
+    value — noop sink, NOT count() (count is answered from row-group
+    metadata without reading data)."""
+    t0 = time.perf_counter()
+    spark.read.parquet(path).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def read_columns_timed(spark: SparkSession, path: str, columns: list[str]) -> float:
+    """R3 (data_read_benchmark.cc:66-79): projection scan — Catalyst
+    prunes the parquet requiredSchema to the selected columns."""
+    t0 = time.perf_counter()
+    spark.read.parquet(path).select(*columns).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def random_half_columns(spark: SparkSession, path: str, seed: int = 42) -> list[str]:
+    import random
+
+    cols = spark.read.parquet(path).columns
+    rng = random.Random(seed)
+    return rng.sample(cols, max(len(cols) // 2, 1))
+
+
+def read_single_column_timed(spark: SparkSession, path: str, column: str) -> float:
+    """R4 substitute (data_read_benchmark.cc:81-97 iterates column
+    reads labeled 'page read'; page granularity is format-internal —
+    SURVEY §7.3)."""
+    return read_columns_timed(spark, path, [column])
+
+
+def read_with_schema_subset_timed(
+    spark: SparkSession, path: str, columns: list[str]
+) -> float:
+    """R6 (scripts/schema_full_partial_benchmark.py:25-57): scan with a
+    user-supplied partial schema — skips inference and prunes."""
+    full = spark.read.parquet(path).schema
+    from pyspark.sql import types as T
+
+    sub = T.StructType([f for f in full.fields if f.name in set(columns)])
+    t0 = time.perf_counter()
+    spark.read.schema(sub).parquet(path).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def head_rows(spark: SparkSession, path: str, n: int = 20):
+    """R7 table viewer (table_viewer.cc:6-48): first min(20, rows)."""
+    return spark.read.parquet(path).limit(n).collect()
+
+
+def rowgroup_layout(path: str) -> list[dict]:
+    """Footer inspection: verify writer knobs actually landed
+    (FIXTURES.md validation contract)."""
+    import pyarrow.parquet as pq
+
+    f = _first_parquet_file(path)
+    md = pq.read_metadata(f)
+    out = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        out.append(
+            {
+                "row_group": rg,
+                "num_rows": g.num_rows,
+                "total_byte_size": g.total_byte_size,
+                "codec": g.column(0).compression if g.num_columns else None,
+            }
+        )
+    return out
+
+
+def checksum_all_columns(spark: SparkSession, path: str) -> float:
+    """Content checksum forcing a genuine full read (R2 verification)."""
+    df = spark.read.parquet(path)
+    row = df.agg(
+        *[F.sum(F.col(c).cast("double")).alias(c) for c in df.columns]
+    ).collect()[0]
+    return float(sum(v for v in row if v is not None))
