@@ -1,0 +1,286 @@
+"""Advanced relational surface: SQL API (grouping sets), exact
+percentiles, regexp functions, array higher-order ops, range window
+frames, distinct-sum, date min/max, and the salted hot-key aggregation
+pattern (the skew tool every 100 TB pipeline eventually needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    dsum,
+    query,
+    sql_dsum,
+)
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+
+@query(
+    "sql_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (Catalyst produces
+    the same Expand+Aggregate plan as the DataFrame rollup/cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS q25,
+           ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median,
+           ROUND(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 6) AS q90,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    quantile_cont, both linear interpolation). The approximate variant
+    (approx_percentile / percentile_approx) exists for the 100 TB path
+    but its sketch values are engine-specific → benchmarked, not
+    oracle-gated."""
+    li = _t = load_table(spark, sf_dir, "lineitem")
+    return (
+        _t.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)).cast("double"), 6).alias("q25"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)).cast("double"), 6).alias("median"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)).cast("double"), 6).alias("q90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)).cast("double"), 6).alias(
+                "median_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           regexp_replace(text, ' ', '_', 'g') LIKE '%query%' AS mentions_query,
+           CAST(LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS consonant_len,
+           regexp_matches(text, 'spark') AS has_spark
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions (patterns restricted to the POSIX-safe
+    subset where Java and RE2 semantics agree)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.select(
+            "doc_id",
+            F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("text", " ", "_").like("%query%").alias("mentions_query"),
+            F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("consonant_len"),
+            F.col("text").rlike("spark").alias("has_spark"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT lang,
+           array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+           CAST(LEN(list_distinct(list(source))) AS BIGINT) AS n_sources,
+           array_to_string(
+               list_filter(list_sort(list_distinct(list(source))), s -> s LIKE 'src1%'),
+               ',') AS src1_family
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + higher-order functions. collect_set order is
+    nondeterministic → always array_sort before emitting (arrays are
+    emitted as joined strings: engines print list literals
+    differently, strings hash identically)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sorted_sources = F.array_sort(F.collect_set("source"))
+    return (
+        doc.groupBy("lang")
+        .agg(
+            F.array_join(sorted_sources, ",").alias("sources"),
+            F.size(sorted_sources).cast("long").alias("n_sources"),
+            F.array_join(
+                F.filter(sorted_sources, lambda s: s.like("src1%")), ","
+            ).alias("src1_family"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4)))
+                OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS price_mass
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): all orders within
+    5000 of the current price. Frame membership depends only on the
+    order value → deterministic under ties, unlike ROWS frames."""
+    od = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice").rangeBetween(-5000, W.currentRow)
+    return (
+        od.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double").alias(
+                "price_mass"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "agg_sum_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_distinct_qty,
+           COUNT(DISTINCT l_quantity) AS n_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum_distinct(F.col("l_quantity").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("sum_distinct_qty"),
+            F.countDistinct("l_quantity").alias("n_distinct_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_min_max_dates",
+    oracle="""
+    SELECT o_custkey,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order,
+           DATEDIFF('day', MIN(o_orderdate), MAX(o_orderdate)) AS active_days,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def agg_min_max_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").cast("date").alias("first_order"),
+            F.max("o_orderdate").cast("date").alias("last_order"),
+            F.datediff(F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("active_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+N_SALT = 16
+
+
+@query(
+    "salted_hot_key_agg",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the manual skew breaker for when
+    one key holds a disproportionate share of a 100 TB table:
+    phase 1 groups on (key, salt) spreading a hot key over N_SALT
+    reducers; phase 2 merges the partials on key alone. The result is
+    provably identical to a direct groupBy (the oracle IS the direct
+    groupBy); decimal partials keep the re-aggregation exact.
+
+    (Spark's AQE skew handling covers skewed *joins*; aggregation skew
+    still needs salting when partial aggregation doesn't collapse the
+    hot key map-side.)"""
+    from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    salted = ev.withColumn("_salt", (F.col("event_id") % N_SALT))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("_v"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_v").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("agg_approx_sketches")  # no oracle: sketch values are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the 100 TB path: HyperLogLog++
+    distinct counts and t-digest-style quantiles in one pass, no exact
+    shuffle-wide distinct. Rows-only check — HLL/quantile sketches are
+    engine-implementation-specific, so there is no cross-engine oracle;
+    tests/test_approx.py bounds the error against exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

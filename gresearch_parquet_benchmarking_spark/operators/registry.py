@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     # Import for registration side effects; idempotent.
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         relational,
+        advanced,
         dedup,
         similarity,
         text,
