@@ -1,0 +1,91 @@
+"""Partition pruning, format round-trips, lakehouse gating, gbench JSON."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_SMOKE
+
+from gresearch_parquet_benchmarking_spark.bench.gbench import parse_gbench, write_gbench_json
+from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+from gresearch_parquet_benchmarking_spark.sources.formats import (
+    LakehouseUnavailable,
+    delta_table,
+    iceberg_table,
+    write_read_roundtrip,
+)
+from gresearch_parquet_benchmarking_spark.sources.partitioned import (
+    lineitem_partitioned_by_shipyear,
+)
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="engine_fmt_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_write_and_pruning(spark, workdir):
+    res = lineitem_partitioned_by_shipyear(spark, SF_SMOKE, f"{workdir}/li_part")
+    assert res.n_partitions >= 5  # shipdates span 1995-2001
+
+    df = spark.read.parquet(res.path).filter(F.col("ship_year") == 1997)
+    plan = formatted_plan(df)
+    # the year predicate must become a PartitionFilter (directory
+    # pruning), not a data filter
+    assert "PartitionFilters: [isnotnull(ship_year" in plan or "PartitionFilters: [" in plan
+    assert "ship_year" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+    years = [r.ship_year for r in df.select("ship_year").distinct().collect()]
+    assert years == [1997]
+
+
+def test_partition_pruning_reads_less(spark, workdir):
+    path = f"{workdir}/li_part"
+    full = spark.read.parquet(path)
+    one = full.filter(F.col("ship_year") == 1997)
+    # pruned scan lists fewer files than the full scan
+    assert one.rdd.getNumPartitions() <= full.rdd.getNumPartitions()
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
+def test_format_roundtrip(spark, workdir, fmt):
+    src = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+    back = write_read_roundtrip(src, f"{workdir}/rt_{fmt}", fmt)
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_lakehouse_stubs_raise_cleanly(spark):
+    with pytest.raises(LakehouseUnavailable, match="delta-spark"):
+        delta_table(spark, "/tmp/nonexistent_delta")
+    with pytest.raises(LakehouseUnavailable, match="iceberg-spark-runtime"):
+        iceberg_table(spark, "nonexistent.iceberg_table")
+
+
+def test_gbench_json_roundtrip(spark, workdir):
+    rows = [
+        {"name": "BM_ParseThrift/2000", "real_time_ns": 15.19e6, "iterations": 46},
+        {"name": "BM_ParseThrift/3000", "real_time_ns": 20.73e6, "iterations": 34},
+        {"name": "BM_ReadPartialData/3000/3000/0", "real_time_ns": 16.12e6, "iterations": 43},
+    ]
+    path = write_gbench_json(rows, f"{workdir}/gbench.json")
+    parsed = parse_gbench(spark, path).orderBy("name").collect()
+    assert [r.benchmark for r in parsed] == [
+        "BM_ParseThrift", "BM_ParseThrift", "BM_ReadPartialData"
+    ]
+    assert parsed[0].arg0 == 2000 and parsed[0].arg1 is None
+    assert parsed[2].arg0 == 3000 and parsed[2].arg1 == 3000
+    assert abs(parsed[0].real_time_ms - 15.19) < 1e-9
