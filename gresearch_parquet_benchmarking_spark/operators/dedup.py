@@ -46,8 +46,17 @@ SIMHASH_BITS = 16
 # ---------------------------------------------------------------------------
 
 def _corpus(spark: SparkSession, sf_dir: str, transform: str) -> DataFrame:
-    """documents ∪ planted copies. transform ∈ exact|reversed|neardup."""
+    """documents ∪ planted copies. transform ∈ exact|reversed|neardup.
+
+    The corpus file is small but the per-row signature work downstream
+    is heavy (md5 per shingle per permutation) — a single-file input
+    would pin the whole pipeline to one core. Repartition when the
+    scan has fewer splits than cores; at real scale the corpus already
+    arrives in thousands of splits and this is a no-op."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    par = spark.sparkContext.defaultParallelism
+    if doc.rdd.getNumPartitions() < max(par // 2, 2):
+        doc = doc.repartition(par)
     toks = tokens_col("text")
     if transform == "exact":
         mutated = F.col("text")
