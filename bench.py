@@ -108,12 +108,17 @@ def bench_io(spark) -> dict[str, float]:
     spark.catalog.clearCache()
     out: dict[str, float] = {}
 
-    # §1 + §5: footer/schema/stats decode vs width (1 row group, 10k rows)
+    # §1 + §5: footer/schema/stats decode vs width (1 row group, 10k
+    # rows), with and without statistics (BASELINE §5 off→on pairs)
     for n in META_COLS:
         path = ensure_wide_fixture(n, 10_000)
         out[f"io_meta_{n}c"] = round(best(lambda: eio.read_metadata_timed(path).total_s), 6)
         out[f"io_stats_{n}c"] = round(
             best(lambda: eio.read_metadata_timed(path).stats_decode_s), 6
+        )
+        nostats = ensure_wide_fixture(n, 10_000, stats=False)
+        out[f"io_stats_off_{n}c"] = round(
+            best(lambda: eio.read_metadata_timed(nostats).stats_decode_s), 6
         )
 
     # §2: read ops at 100k rows. Fixture layout matches the reference's

@@ -130,8 +130,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join → agg → top-10. customer is the small side (1.5k/sf0.01)
-    → broadcast; lineitem⋈orders shuffles on the order key."""
+    """3-way join → agg → top-10. lineitem⋈orders shuffles on the order
+    key; customer SCALES with SF so it gets no broadcast hint — AQE's
+    size-based auto-broadcast picks it up at small SFs and correctly
+    shuffles it at scale."""
     cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     od = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -141,7 +143,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -172,8 +174,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way star join. region/nation/supplier broadcast (fixed/small
-    cardinality); the two fact joins shuffle on orderkey then custkey."""
+    """6-way star join. region/nation broadcast (fixed cardinality: 5
+    and 25 rows at ANY scale factor); supplier/customer scale with SF
+    → no hint, AQE decides by size; the fact joins shuffle on orderkey
+    then custkey."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -187,7 +191,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
@@ -1025,7 +1029,7 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "left_semi")
+        od.join(cu, od.o_custkey == cu.c_custkey, "left_semi")
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )

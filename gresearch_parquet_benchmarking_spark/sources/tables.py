@@ -28,9 +28,11 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale
-# (region 5 rows, nation 25 rows — fixed-cardinality in TPC-H).
-BROADCAST_TABLES = ("region", "nation", "supplier")
+# Tables whose cardinality is FIXED regardless of scale factor
+# (region 5 rows, nation 25 rows in TPC-H) — the only ones that may
+# carry an unconditional broadcast hint. Everything else scales with
+# SF and must be left to AQE's size-based broadcast decision.
+BROADCAST_TABLES = ("region", "nation")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

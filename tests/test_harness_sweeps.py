@@ -1,0 +1,73 @@
+"""Harness sweeps end-to-end at miniature sizes: the four reference
+sweeps run, emit the reference's CSV schemas, and show the qualitative
+shapes BASELINE.md reports (SURVEY §5 item 3 — tolerance-based shape
+checks, not golden numbers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gresearch_parquet_benchmarking_spark.bench.harness import (
+    BenchWorkspace,
+    compression_sweep,
+    data_read_sweep,
+    metadata_sweep,
+    rowgroup_sweep,
+)
+from gresearch_parquet_benchmarking_spark.bench.results_io import (
+    read_results_glob,
+    write_results_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def ws():
+    w = BenchWorkspace()
+    yield w
+    w.cleanup()
+
+
+def test_metadata_sweep_shape(spark, ws):
+    rows = metadata_sweep(spark, ws, col_counts=(10, 100), n_rows=2000, trials=2)
+    assert [r["num_columns"] for r in rows] == [10, 100]
+    assert set(rows[0]) >= {
+        "total_decode_time_us", "thrift_decode_time_us", "schema_build_time_us",
+        "stats_decode_time_us", "size_bytes",
+    }
+    # BASELINE §1 shape: decode time and size grow with width
+    assert rows[1]["total_decode_time_us"] > rows[0]["total_decode_time_us"]
+    assert rows[1]["size_bytes"] > 5 * rows[0]["size_bytes"]
+
+
+def test_data_read_sweep_shape(spark, ws):
+    rows = data_read_sweep(spark, ws, col_counts=(10, 50), n_rows=20000, trials=2)
+    for r in rows:
+        # BASELINE §2 shape: projection of half the columns beats full scan
+        assert r["random_column_read_time_ms"] < r["full_data_read_time_ms"] * 1.2
+        assert r["metadata_decode_time_ms"] < r["full_data_read_time_ms"]
+
+
+def test_compression_sweep_csv_roundtrip(spark, ws, tmp_path):
+    rows = compression_sweep(
+        spark, ws, col_counts=(20,), n_rows=5000, codecs=["none", "zstd"], trials=2
+    )
+    assert {r["algorithm"] for r in rows} == {"none", "zstd"}
+    # random floats ≈ incompressible (BASELINE §7) but zstd still trims a few %
+    none_mb = next(r for r in rows if r["algorithm"] == "none")["compressed_size_mb"]
+    zstd_mb = next(r for r in rows if r["algorithm"] == "zstd")["compressed_size_mb"]
+    assert 0.8 * none_mb < zstd_mb <= none_mb * 1.02
+    out = f"{tmp_path}/compression_results.csv"
+    write_results_csv(spark, rows, out)
+    assert read_results_glob(spark, out).count() == len(rows)
+
+
+def test_rowgroup_sweep_layout_landed(spark, ws):
+    rows = rowgroup_sweep(
+        spark, ws, col_counts=(10,), row_group_rows=(1000, 5000),
+        page_sizes=(65536,), n_rows=5000, trials=2,
+    )
+    by_rg = {r["row_group_size"]: r for r in rows}
+    # requested row-group targeting must actually change the layout
+    assert by_rg[1000]["actual_row_groups"] > by_rg[5000]["actual_row_groups"]
+    for r in rows:
+        assert r["write_time_ms"] > 0 and r["file_size_mb"] > 0
