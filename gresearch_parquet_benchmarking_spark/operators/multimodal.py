@@ -162,3 +162,105 @@ def multimodal_size_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --- resize / frame-sample kernels (same stub-decode contract) -------------
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, r_width int, r_height int"
+
+
+def _fake_resize_batch(batch: pd.DataFrame, target: int = 64) -> pd.DataFrame:
+    """FAKE resize: fit-within-target with integer aspect math (a real
+    kernel swaps in PIL.Image.thumbnail; plumbing identical)."""
+    w = batch["width"].astype("int64")
+    h = batch["height"].astype("int64")
+    landscape = w >= h
+    rw = landscape * target + (~landscape) * ((w * target) // h).clip(lower=1)
+    rh = (~landscape) * target + landscape * ((h * target) // w).clip(lower=1)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "r_width": rw.astype("int32"),
+            "r_height": rh.astype("int32"),
+        }
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH decoded AS (
+        SELECT doc_id,
+               CAST(16 + octet_length(encode(text)) % 240 AS INT) AS width,
+               CAST(16 + (octet_length(encode(text)) // 7) % 240 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN width >= height THEN 64
+                     ELSE GREATEST((width * 64) // height, 1) END AS INT) AS r_width,
+           CAST(CASE WHEN width >= height THEN GREATEST((height * 64) // width, 1)
+                     ELSE 64 END AS INT) AS r_height
+    FROM decoded
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Arrow-batched pipeline: decode (mapInPandas) → resize
+    (mapInPandas) — the multi-kernel chaining a real image pipeline
+    needs; both kernels are swappable fakes with SQL-twin arithmetic."""
+    doc = load_table(spark, sf_dir, "documents")
+    decoded = decode_assets(attach_binary_payload(doc))
+
+    def run(batches):
+        for batch in batches:
+            yield _fake_resize_batch(batch)
+
+    return (
+        decoded.select("doc_id", "width", "height")
+        .mapInPandas(run, schema=RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH decoded AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                                            WHEN 1 THEN 'audio/wav'
+                                            ELSE 'video/mp4' END AS kind,
+               CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, n_frames,
+           array_to_string(list_transform(range(0, LEAST(n_frames, 4)),
+                           i -> i * GREATEST(n_frames // 4, 1)), ',') AS sampled_frames,
+           CAST(LEN(range(0, LEAST(n_frames, 4))) AS BIGINT) AS n_sampled
+    FROM decoded
+    WHERE kind = 'video/mp4'
+    ORDER BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling for video assets: ≤4 frames at stride
+    n//4 — built-in sequence/transform (no UDF needed for the sampling
+    itself; only the decode was Python)."""
+    doc = load_table(spark, sf_dir, "documents")
+    decoded = decode_assets(attach_binary_payload(doc))
+    n = F.col("n_frames")
+    k = F.least(n, F.lit(4))
+    stride = F.greatest(F.floor(n / 4).cast("int"), F.lit(1))
+    frames = F.transform(F.sequence(F.lit(0), k - 1), lambda i: i * stride)
+    return (
+        decoded.filter(F.col("kind") == "video/mp4")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.array_join(frames, ",").alias("sampled_frames"),
+            k.cast("long").alias("n_sampled"),
+        )
+        .orderBy("doc_id")
+    )

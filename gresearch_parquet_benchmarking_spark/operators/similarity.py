@@ -266,3 +266,129 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (the bucketed scale path alongside IVF)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+_PLANE_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — computed
+    driver-side with hashlib (bit-identical to the SQL twin's
+    ('0x'||substr(md5(p||'_'||j),1,8))::BIGINT % 2001 formula) and
+    embedded as plan literals: 8×64 floats, broadcast-free."""
+    import hashlib
+
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for j in range(_PLANE_DIM):
+            h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+_SQL_PLANES = f"""
+    planes AS (
+        SELECT p, j,
+               ((('0x' || substr(md5(p || '_' || j), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS w
+        FROM range({N_PLANES}) t1(p), range({_PLANE_DIM}) t2(j)
+    ),
+    flat AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x
+        FROM vecs
+    ),
+    bits AS (
+        SELECT f.vec_id, pl.p,
+               CASE WHEN SUM(f.x * pl.w) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM flat f JOIN planes pl ON f.j = pl.j
+        GROUP BY f.vec_id, pl.p
+    ),
+    bucketed AS (
+        SELECT b.vec_id, CAST(SUM(b.bit * (1 << b.p)) AS BIGINT) AS bucket, v.v
+        FROM bits b JOIN vecs v ON v.vec_id = b.vec_id
+        GROUP BY b.vec_id, v.v
+    )
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    {_SQL_PLANES},
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+               {_SQL_COS} AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, bucket, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 8 signed projections → 256 buckets;
+    a query compares only against its own bucket (~1/256 of the
+    corpus). The hyperplanes are literals in the plan — the bucket
+    assignment is pure map-side arithmetic; the candidate join is an
+    equi-join on the bucket id. Complements ann_ivf_topk (IVF needs a
+    centroid pass; LSH is data-independent)."""
+    vec = _vectors(spark, sf_dir)
+    planes = _plane_weights()
+
+    def _bucket_col():
+        from gresearch_parquet_benchmarking_spark.functions.vector import dot_product
+
+        terms = []
+        for p, row in enumerate(planes):
+            plane_lit = F.array(*[F.lit(w) for w in row])
+            bit = F.when(dot_product(F.col("v"), plane_lit) >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+            terms.append(bit)
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("bigint")
+
+    bucketed = vec.select("vec_id", "v", _bucket_col().alias("bucket"))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cand = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    scored = cand.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        cosine_similarity(F.col("qv"), F.col("nv")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", F.round("cos", 6).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )

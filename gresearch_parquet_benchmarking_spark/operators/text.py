@@ -275,3 +275,39 @@ def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_SUBWORD_PATTERN = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"
+
+
+@query(
+    "text_subword_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_SUBWORD_PATTERN}')) AS BIGINT) AS n_subwords,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+           ROUND(CAST(LEN(regexp_extract_all(text, '{_SUBWORD_PATTERN}')) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 6) AS subwords_per_word,
+           array_to_string(regexp_extract_all(text, '{_SUBWORD_PATTERN}')[1:4], '|') AS first_subwords
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword tokenization via a vowel-nucleus regex (the
+    whitespace tokenizer's companion — a deterministic stand-in for a
+    learned BPE vocab, same counting plumbing). Pure regexp built-ins,
+    pattern restricted to the Java/RE2-agreeing subset."""
+    doc = load_table(spark, sf_dir, "documents")
+    subs = F.regexp_extract_all("text", F.lit(_SUBWORD_PATTERN), F.lit(0))
+    words = tokens_col("text")
+    return (
+        doc.select(
+            "doc_id",
+            F.size(subs).cast("long").alias("n_subwords"),
+            F.size(words).cast("long").alias("n_words"),
+            F.round(F.size(subs).cast("double") / F.size(words), 6).alias("subwords_per_word"),
+            F.array_join(F.slice(subs, 1, 4), "|").alias("first_subwords"),
+        )
+        .orderBy("doc_id")
+    )
