@@ -1,0 +1,86 @@
+"""Iterative graph operator: connected components via label
+propagation — the clustering step that turns pairwise near-duplicate
+matches into dedup GROUPS (every production dedup ends here: pairs
+alone can't tell you which one document to keep out of a chain
+A~B~C).
+
+This is the engine's representative *iterative* algorithm (SURVEY §2.9
+— genuinely non-SQL-expressible, so the query entry is rows-only by
+design; semantics are pinned by tests/test_graph.py with planted
+chains).
+
+Scale shape: each iteration is one shuffle (groupBy node) over the
+edge list; labels monotonically decrease so convergence is bounded by
+the graph diameter (near-dup graphs are shallow — a handful of
+iterations). Intermediate labels persist per round and unpersist after
+the next materializes — bounded memory at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators.registry import query
+
+MAX_ITERATIONS = 20
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> DataFrame:
+    """edges(src long, dst long) undirected → (node long, component
+    long) where component = min node id reachable. Label propagation
+    to fixpoint."""
+    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).persist()
+    labels.count()
+
+    for _ in range(max_iter):
+        # each node proposes its current label to every neighbor;
+        # a node's next label = min(own, best proposal)
+        proposals = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(proposals)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_connected_components")  # rows-only: iterative fixpoint, no SQL twin
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash-LSH, jaccard ≥ 0.5) → dedup clusters:
+    each document mapped to its cluster representative (min doc_id),
+    with cluster sizes. The downstream keep/drop decision is then a
+    per-cluster pick."""
+    from gresearch_parquet_benchmarking_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )

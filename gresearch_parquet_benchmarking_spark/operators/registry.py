@@ -66,7 +66,9 @@ def _ensure_loaded() -> None:
     # Import for registration side effects; idempotent.
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         relational,
+        relational2,
         advanced,
+        graph,
         dedup,
         similarity,
         text,

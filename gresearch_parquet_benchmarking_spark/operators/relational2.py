@@ -1,0 +1,152 @@
+"""Second relational batch: join-on-aggregate (TPC-H Q17/Q18 shapes)
+and the MERGE/SCD2 emulation pattern (Spark without Delta: anti-join +
+union — the upsert every warehouse needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    davg,
+    dsum,
+    query,
+    sql_davg,
+    sql_dsum,
+)
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk, {sql_davg('l_quantity')} AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l_extendedprice')} AS total_price,
+           COUNT(*) AS n_small_lines
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: join the fact table against its own per-group
+    aggregate (below-half-average quantity lines). The aggregate side
+    is grouped on the join key, so the join co-partitions with the
+    aggregation — one shuffle serves both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(davg("l_quantity", alias="avg_qty"))
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice", alias="total_price"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big_orders AS (
+        SELECT l_orderkey AS ok, {sql_dsum('l_quantity')} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           total_qty
+    FROM big_orders
+    JOIN orders ON o_orderkey = ok
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-filtered aggregate driving a join chain. The
+    big_orders aggregate shrinks the join input by orders of magnitude
+    before any wide row is assembled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("_tq"))
+        .filter(F.col("_tq") > 150)
+        .select("ok", F.col("_tq").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(od, od.o_orderkey == big.ok)
+        .join(cu, cu.c_custkey == od.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT * FROM inserts
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice
+    FROM merged
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulated without a lakehouse format (the v1-image
+    pattern): target rows not matched by the update-set (anti-join) ∪
+    updated rows ∪ brand-new rows. One shuffle on the merge key; at
+    scale the same plan runs partition-wise on a date-partitioned
+    target so only touched partitions rewrite."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = od.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    inserts = od.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    untouched = od.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = untouched.unionByName(updates).unionByName(inserts)
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("double"), 4).alias("o_totalprice"),
+    ).orderBy("o_orderkey")
