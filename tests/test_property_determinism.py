@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the determinism contract:
+for arbitrary float data, the engine's decimal-sum/md5-hash recipes
+must agree with DuckDB bit-for-bit — not just on the shipped testdata.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+SETTINGS = dict(
+    max_examples=5,  # Spark jobs per example — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+@given(values=st.lists(st.tuples(st.sampled_from("abc"), floats), min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_decimal_sum_matches_duckdb(spark, values):
+    df = spark.createDataFrame(values, "k string, v double")
+    got = {
+        r.k: r.s
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", values)
+    want = dict(
+        con.sql(
+            "SELECT k, CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) FROM t GROUP BY k"
+        ).fetchall()
+    )
+    assert got == want  # bit-exact, both engines
+
+
+@given(texts=st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_md5_hash64_matches_duckdb(spark, texts):
+    from gresearch_parquet_benchmarking_spark.functions.text_funcs import md5_hash64
+
+    rows = [(t,) for t in texts]
+    df = spark.createDataFrame(rows, "t string")
+    got = sorted(r.h for r in df.select(md5_hash64(F.col("t")).alias("h")).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = sorted(
+        x[0] for x in con.sql("SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT FROM t").fetchall()
+    )
+    assert got == want
+
+
+@given(
+    vals=st.lists(floats, min_size=2, max_size=64),
+)
+@settings(**SETTINGS)
+def test_rowwise_double_arithmetic_matches(spark, vals):
+    """Per-row IEEE products/sums are identical across engines (the
+    premise that lets row expressions be decimal-cast post hoc)."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {r.i: r.e for r in df.select("i", (F.col("v") * 1.1 + 3.0).alias("e")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.sql("SELECT i, v * 1.1 + 3.0 FROM t").fetchall())
+    assert got == want
