@@ -201,8 +201,8 @@ def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_dates",
     oracle="""
     SELECT o_custkey,
-           CAST(MIN(o_orderdate) AS DATE) AS first_order,
-           CAST(MAX(o_orderdate) AS DATE) AS last_order,
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_order,
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_order,
            DATEDIFF('day', MIN(o_orderdate), MAX(o_orderdate)) AS active_days,
            COUNT(*) AS n_orders
     FROM orders
@@ -215,8 +215,8 @@ def agg_min_max_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.groupBy("o_custkey")
         .agg(
-            F.min("o_orderdate").cast("date").alias("first_order"),
-            F.max("o_orderdate").cast("date").alias("last_order"),
+            F.min("o_orderdate").cast("date").cast("string").alias("first_order"),
+            F.max("o_orderdate").cast("date").cast("string").alias("last_order"),
             F.datediff(F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date"))
             .cast("long")
             .alias("active_days"),

@@ -116,7 +116,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey,
            {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -146,7 +146,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
             "o_orderpriority",
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, alias="revenue"))
@@ -385,7 +385,7 @@ def window_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -408,7 +408,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         od.select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
             F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double").alias("running_spend"),
         )
         .orderBy("o_custkey", "o_orderkey")
@@ -806,13 +806,13 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_date_funcs",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS odate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
            EXTRACT(YEAR FROM o_orderdate) AS oyear,
            EXTRACT(MONTH FROM o_orderdate) AS omonth,
            EXTRACT(DAY FROM o_orderdate) AS oday,
            DAYOFWEEK(o_orderdate) % 7 + 1 AS dow,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
-           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS VARCHAR) AS due_date,
            DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
     FROM orders
     ORDER BY o_orderkey
@@ -826,13 +826,13 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.select(
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("odate"),
+            F.col("o_orderdate").cast("date").cast("string").alias("odate"),
             F.year("o_orderdate").cast("long").alias("oyear"),
             F.month("o_orderdate").cast("long").alias("omonth"),
             F.dayofmonth("o_orderdate").cast("long").alias("oday"),
             F.dayofweek("o_orderdate").cast("long").alias("dow"),
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-            F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 90).cast("string").alias("due_date"),
             F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
             .cast("long")
             .alias("days_since_95"),

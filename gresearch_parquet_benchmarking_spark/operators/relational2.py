@@ -57,7 +57,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 150
     )
     SELECT c_custkey, c_name, o_orderkey,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
            total_qty
     FROM big_orders
@@ -87,7 +87,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
             "total_qty",
         )

@@ -51,7 +51,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_by_day",
     oracle=f"""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
            event_type,
            COUNT(*) AS n,
            {sql_dsum('value')} AS total_value,
@@ -67,7 +67,7 @@ def events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy(
-            F.date_trunc("day", "ts_ts").cast("date").alias("day"),
+            F.date_trunc("day", "ts_ts").cast("date").cast("string").alias("day"),
             "event_type",
         )
         .agg(
