@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from gresearch_parquet_benchmarking_spark.operators.registry import (
     dsum,
+    iso_date,
     query,
     sql_dsum,
 )
@@ -215,8 +216,8 @@ def agg_min_max_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.groupBy("o_custkey")
         .agg(
-            F.min("o_orderdate").cast("date").cast("string").alias("first_order"),
-            F.max("o_orderdate").cast("date").cast("string").alias("last_order"),
+            iso_date(F.min("o_orderdate"), alias="first_order"),
+            iso_date(F.max("o_orderdate"), alias="last_order"),
             F.datediff(F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date"))
             .cast("long")
             .alias("active_days"),

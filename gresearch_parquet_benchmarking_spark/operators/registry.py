@@ -16,8 +16,9 @@ Determinism contract (critical for the value-hash gate):
   across engines, so casting the *result* of a row expression is safe.
 * AVG is built as exact-decimal-sum / count (double division of two
   deterministic doubles).
-* Timestamps are never emitted raw (session-TZ vs naive pitfalls):
-  outputs use DATE or epoch integers.
+* Timestamps/dates are never emitted raw (session-TZ and pandas
+  representation pitfalls — datetime.date vs datetime64): outputs use
+  ISO strings (``iso_date``/``sql_iso_date``) or epoch integers.
 """
 
 from __future__ import annotations
@@ -94,6 +95,18 @@ def davg(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = (F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)).cast("double")
     return out.alias(alias) if alias else out
+
+
+def iso_date(col: Column | str, alias: str | None = None) -> Column:
+    """Emit a date-valued expression as its ISO string — identical
+    plain-Python strings from both engines under any hasher."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c.cast("date").cast("string")
+    return out.alias(alias) if alias else out
+
+
+def sql_iso_date(expr: str) -> str:
+    return f"CAST(CAST({expr} AS DATE) AS VARCHAR)"
 
 
 def sql_dsum(expr: str, scale: int = 4) -> str:

@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 from gresearch_parquet_benchmarking_spark.operators.registry import (
     davg,
     dsum,
+    iso_date,
     query,
     sql_davg,
     sql_dsum,
+    sql_iso_date,
 )
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
@@ -116,7 +118,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey,
            {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
-           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           {sql_iso_date('o_orderdate')} AS orderdate,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -146,7 +148,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            iso_date("o_orderdate", alias="orderdate"),
             "o_orderpriority",
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, alias="revenue"))
@@ -408,7 +410,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         od.select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            iso_date("o_orderdate", alias="orderdate"),
             F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double").alias("running_spend"),
         )
         .orderBy("o_custkey", "o_orderkey")
@@ -826,13 +828,13 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.select(
             "o_orderkey",
-            F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+            iso_date("o_orderdate", alias="odate"),
             F.year("o_orderdate").cast("long").alias("oyear"),
             F.month("o_orderdate").cast("long").alias("omonth"),
             F.dayofmonth("o_orderdate").cast("long").alias("oday"),
             F.dayofweek("o_orderdate").cast("long").alias("dow"),
-            F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
-            F.date_add(F.col("o_orderdate").cast("date"), 90).cast("string").alias("due_date"),
+            iso_date(F.date_trunc("month", "o_orderdate"), alias="month_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 90).cast("string").alias("due_date"),  # already date-typed; plain string cast
             F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
             .cast("long")
             .alias("days_since_95"),

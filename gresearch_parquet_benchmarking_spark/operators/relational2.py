@@ -11,9 +11,11 @@ from pyspark.sql import functions as F
 from gresearch_parquet_benchmarking_spark.operators.registry import (
     davg,
     dsum,
+    iso_date,
     query,
     sql_davg,
     sql_dsum,
+    sql_iso_date,
 )
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
@@ -57,7 +59,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 150
     )
     SELECT c_custkey, c_name, o_orderkey,
-           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           {sql_iso_date('o_orderdate')} AS orderdate,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
            total_qty
     FROM big_orders
@@ -87,7 +89,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            iso_date("o_orderdate", alias="orderdate"),
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
             "total_qty",
         )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from gresearch_parquet_benchmarking_spark.operators.registry import query, sql_dsum, dsum
+from gresearch_parquet_benchmarking_spark.operators.registry import dsum, iso_date, query, sql_dsum
 from gresearch_parquet_benchmarking_spark.sources.events import load_events
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
@@ -67,7 +67,7 @@ def events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy(
-            F.date_trunc("day", "ts_ts").cast("date").cast("string").alias("day"),
+            iso_date(F.date_trunc("day", "ts_ts"), alias="day"),
             "event_type",
         )
         .agg(
