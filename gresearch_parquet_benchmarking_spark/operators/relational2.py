@@ -152,3 +152,80 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice").cast("double"), 4).alias("o_totalprice"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-conjunction predicates spanning both join
+    sides. Catalyst extracts the common-subexpression filters it can
+    push (p_brand IN (...), l_quantity range hull) below the join and
+    evaluates the residual disjunction post-join — the optimizer case
+    disjunctions exist to test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    j = li.join(pa, pa.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, alias="revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    avg_bal AS (
+        SELECT {sql_davg('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer LEFT JOIN cnt ON o_custkey = c_custkey, avg_bal
+    WHERE COALESCE(n, 0) < 7
+      AND c_acctbal > ab
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-subquery threshold + activity anti-filter —
+    above-average-balance customers with fewer than 7 orders (this
+    testdata has essentially no zero-order customers, so the classic
+    NOT EXISTS form is vacuously empty; the low-activity variant keeps
+    the same plan shape with a non-trivial result at every SF). The
+    order counts group on the join key — one shuffle serves both."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    cnt = od.groupBy(F.col("o_custkey")).agg(F.count(F.lit(1)).alias("n"))
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal", alias="ab"))
+    return (
+        cu.join(cnt, cu.c_custkey == cnt.o_custkey, "left")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter((F.coalesce(F.col("n"), F.lit(0)) < 7) & (F.col("c_acctbal") > F.col("ab")))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", alias="total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
