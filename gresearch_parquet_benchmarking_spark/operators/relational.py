@@ -295,19 +295,25 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_anti",
     oracle="""
-    SELECT c_custkey, c_mktsegment
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 44
+    )
+    ORDER BY o_orderkey
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = _t(spark, sf_dir, "customer")
+    """Anti-join: orders containing no high-quantity line. (Phrased
+    against lineitem rather than the classic customers-without-orders,
+    which is vacuously empty on this testdata at every SF.)"""
     od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 44)
     return (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
     )
 
 
@@ -708,16 +714,22 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT c_custkey AS custkey FROM customer
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT o_custkey FROM orders
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     ORDER BY custkey
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    od = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return cu.exceptAll(od).distinct().orderBy("custkey")
+    """EXCEPT: customers with finished orders but no open ones
+    (non-empty at every SF, unlike customers-minus-orderers)."""
+    od = _t(spark, sf_dir, "orders")
+    f = od.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = od.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    # subtract = SET except (SQL EXCEPT); exceptAll is bag semantics
+    # and would keep customers whose F-order count merely exceeds
+    # their O-order count
+    return f.subtract(o).orderBy("custkey")
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,9 @@ for name, fn in qs.items():
     try:
         if name in oracles:
             problems = run_compare(spark, name, fn, oracles[name], sf_dir)
+            n_rows = fn(spark, sf_dir).count()
+            if n_rows == 0:
+                print("  [ZERO-ROW WARNING]", end=" ")
         else:
             n = fn(spark, sf_dir).count()
             problems = [] if n >= 0 else ["negative count?!"]
