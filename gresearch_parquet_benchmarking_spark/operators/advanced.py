@@ -285,3 +285,35 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sample_hash_based",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS qty_sampled
+    FROM lineitem
+    WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via content hashing (md5(key) % 100 <
+    10) — unlike rand()-based sampling this is stable across runs,
+    engines, partitionings, and retries: the property a reproducible
+    100 TB pipeline needs from its sampling stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "_", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 100
+    return (
+        li.filter(bucket < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("l_quantity").cast("decimal(27,4)")).cast("double").alias("qty_sampled"),
+        )
+        .orderBy("l_returnflag")
+    )

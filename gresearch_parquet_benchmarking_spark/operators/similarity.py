@@ -392,3 +392,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "bucket", F.round("cos", 6).alias("cos"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization (storage-efficient similarity: 4x smaller vectors)
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 127.0 / 4.0  # embeddings are roughly N(0,1); clamp at ±4σ
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(GREATEST(LEAST(ROUND(x * {QUANT_SCALE}), 127), -127) AS BIGINT)) AS qv
+        FROM vecs
+    )
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_dot_product(
+                list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                list_transform(b.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS qdot
+    FROM q a JOIN q b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < 3
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (±4σ clamp) + integer dot products —
+    the storage/compute trade every billion-vector store makes (4×
+    smaller, SIMD-friendly int math). Integer dots are exact, so the
+    oracle needs no rounding at all.
+
+    (ROUND on exact .5 is half-even in DuckDB vs half-up in Spark, but
+    x*31.75 for a float32 input is never exactly .5 in binary.)"""
+    vec = _vectors(spark, sf_dir)
+    quantize = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.least(F.round(x * QUANT_SCALE, 0), F.lit(127.0)), F.lit(-127.0)
+        ).cast("long"),
+    )
+    q = vec.select("vec_id", quantize.alias("qv"))
+    a = q.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        b.join(F.broadcast(a), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+        .orderBy("query_id", "neighbor_id")
+    )

@@ -311,3 +311,68 @@ def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tokens GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM tokens GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, token, tfidf, rnk
+    FROM ranked WHERE rnk <= 3 AND doc_id < 50
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-document top-3 most distinctive terms (first 50 docs
+    for a bounded result). Three aggregations sharing the exploded
+    token relation — tf shuffles on (doc, token), df on token, both
+    with map-side combine; idf is a broadcast scalar.
+
+    Determinism: tf and df are integer counts; idf = ln(n/df) is a
+    deterministic double per token; tf*idf per (doc,token) is one IEEE
+    multiply — rank ties broken by token."""
+    doc = load_table(spark, sf_dir, "documents")
+    tokens = doc.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = doc.count()  # driver-side scalar: one number, not a collect loop
+    scored = (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
