@@ -129,19 +129,23 @@ def bench_io(spark) -> dict[str, float]:
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     try:
+        spark.sparkContext._jvm.System.gc()  # quiet heap before scan timings
         for n in READ_COLS:
             path = ensure_wide_fixture(n, READ_ROWS, row_group_rows=10_000)
             half = eio.random_half_columns(spark, path)
             first = spark.read.parquet(path).columns[0]
+            # 5 trials on the heavy scans: a single GC pause can span
+            # all of a 3-trial window
+            scan_trials = 5 if n >= 1000 else TRIALS
             out[f"io_meta_100kr_{n}c"] = round(
                 best(lambda: eio.read_metadata_timed(path).total_s), 6
             )
             out[f"io_fullread_{n}c"] = round(
-                best(lambda: eio.read_full_timed(spark, path), warmups=2), 4
+                best(lambda: eio.read_full_timed(spark, path), trials=scan_trials, warmups=2), 4
             )
             out[f"io_fullread_arrow_{n}c"] = round(best(lambda: _arrow_read(pq, path)), 4)
             out[f"io_halfread_{n}c"] = round(
-                best(lambda: eio.read_columns_timed(spark, path, half), warmups=2), 4
+                best(lambda: eio.read_columns_timed(spark, path, half), trials=scan_trials, warmups=2), 4
             )
             out[f"io_halfread_arrow_{n}c"] = round(
                 best(lambda: _arrow_read(pq, path, half)), 4
@@ -161,6 +165,8 @@ def bench_io(spark) -> dict[str, float]:
     # artifact of its one-process design.
     df = wide_table(spark, 1000, 10_000, n_partitions=16).persist()
     df.count()
+    # two passes: all encodes, then all decodes — interleaving them
+    # leaves write-churn (page cache, GC) inside the decode timings
     for codec in CODECS:
         path = f"/tmp/engine_bench_write_{codec}"
         out[f"io_enc_{codec}_1000c"] = round(
@@ -169,8 +175,13 @@ def bench_io(spark) -> dict[str, float]:
             ),
             4,
         )
-        out[f"io_dec_{codec}_1000c"] = round(best(lambda: eio.read_full_timed(spark, path)), 4)
     df.unpersist()
+    spark.catalog.clearCache()
+    for codec in CODECS:
+        path = f"/tmp/engine_bench_write_{codec}"
+        out[f"io_dec_{codec}_1000c"] = round(
+            best(lambda: eio.read_full_timed(spark, path), warmups=2), 4
+        )
     return out
 
 
