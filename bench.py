@@ -18,6 +18,8 @@ Two sections inside "queries":
 BASELINE analog map (values in seconds here; BASELINE.md is ms):
   io_meta_{N}c          ↔ §1 footer decode+schema (pyarrow, same lib family)
   io_stats_{N}c         ↔ §5 stats decode (stats-on files)
+  io_schema_full_{N}c   ↔ §3 full schema: thrift + build (pyarrow)
+  io_schema_subset_{N}c ↔ §3 subset schema (max(10, N/10) cols)
   io_meta_100kr_{N}c    ↔ §2 metadata decode
   io_fullread_{N}c      ↔ §2 full table read (Spark noop sink)
   io_fullread_arrow_{N}c↔ §2 full table read (pyarrow — reference's own API)
@@ -120,6 +122,15 @@ def bench_io(spark) -> dict[str, float]:
         out[f"io_stats_off_{n}c"] = round(
             best(lambda: eio.read_metadata_timed(nostats).stats_decode_s), 6
         )
+        # §3: full vs subset schema build split (pyarrow, the
+        # reference's own §3 measurement path)
+        if n >= 100:
+            out[f"io_schema_full_{n}c"] = round(
+                best(lambda: eio.subset_schema_timed(path)["full_total_s"]), 6
+            )
+            out[f"io_schema_subset_{n}c"] = round(
+                best(lambda: eio.subset_schema_timed(path)["subset_total_s"]), 6
+            )
 
     # §2: read ops at 100k rows. Fixture layout matches the reference's
     # files (10k-row groups, data_generator.cc:35) — splittable scans;

@@ -265,3 +265,35 @@ def checksum_all_columns(spark: SparkSession, path: str) -> float:
         *[F.sum(F.col(c).cast("double")).alias(c) for c in df.columns]
     ).collect()[0]
     return float(sum(v for v in row if v is not None))
+
+
+def subset_schema_timed(path: str, subset_fraction: int = 10) -> dict:
+    """R6/BASELINE §3 analog of the reference's
+    scripts/schema_full_partial_benchmark.py:25-57: time the footer
+    thrift decode and the Arrow-schema build for ALL columns vs a
+    subset of max(10, N//fraction) columns (the reference's subset
+    rule, :73-76). Same library family (pyarrow) as the reference's
+    own §3 measurement."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = _first_parquet_file(path)
+    t0 = time.perf_counter()
+    md = pq.read_metadata(f)
+    t1 = time.perf_counter()
+    full = md.schema.to_arrow_schema()
+    t2 = time.perf_counter()
+    n = len(full)
+    k = max(10, n // subset_fraction)
+    t3 = time.perf_counter()
+    sub = pa.schema([full.field(i) for i in range(k)])
+    t4 = time.perf_counter()
+    return {
+        "n_columns": n,
+        "subset_columns": len(sub),
+        "thrift_s": t1 - t0,
+        "full_build_s": t2 - t1,
+        "subset_build_s": t4 - t3,
+        "full_total_s": t2 - t0,
+        "subset_total_s": (t1 - t0) + (t4 - t3),
+    }
