@@ -317,3 +317,101 @@ def sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(regr_slope(l_extendedprice, l_quantity) AS DOUBLE), 4) AS slope,
+           ROUND(CAST(regr_intercept(l_extendedprice, l_quantity) AS DOUBLE), 4) AS intercept,
+           ROUND(CAST(regr_r2(l_extendedprice, l_quantity) AS DOUBLE), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (price vs quantity per flag) —
+    normalized moments, stable to ≫ the rounding guard like corr."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity").cast("double"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity").cast("double"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity").cast("double"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit full frames (last_value over
+    the default frame is a classic trap — it sees only up to the
+    current row; the unbounded-following frame makes it the true
+    partition last on both engines)."""
+    od = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(wfull).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "scalar_null_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_returnflag, 'N') AS flag_or_null,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_filled,
+           (NULLIF(l_returnflag, 'N') IS NULL) AS was_n,
+           IFNULL(NULLIF(CAST(l_quantity AS DOUBLE), 1.0), -1.0) AS qty_or_neg1
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalars (nullif/coalesce/ifnull/is-null) over
+    derived nulls — the corpus itself is null-free, so nullif
+    manufactures them deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag_null = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            flag_null.alias("flag_or_null"),
+            F.coalesce(flag_null, F.lit("none")).alias("flag_filled"),
+            flag_null.isNull().alias("was_n"),
+            F.ifnull(
+                F.nullif(F.col("l_quantity").cast("double"), F.lit(1.0)), F.lit(-1.0)
+            ).alias("qty_or_neg1"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
