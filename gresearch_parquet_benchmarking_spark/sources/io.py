@@ -297,3 +297,33 @@ def subset_schema_timed(path: str, subset_fraction: int = 10) -> dict:
         "full_total_s": t2 - t0,
         "subset_total_s": (t1 - t0) + (t4 - t3),
     }
+
+
+def row_groups_matching(path: str, column: str, lo, hi) -> tuple[int, int]:
+    """(matching, total) row groups whose [min,max] stats overlap
+    [lo,hi] — what parquet-mr's predicate pushdown would actually
+    read. The measurable effect of clustering/sorting a layout
+    (the reference's statistics story, metadata_benchmark.cc:44-79,
+    turned into a skipping ratio)."""
+    import pyarrow.parquet as pq
+    import os
+
+    files = []
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        for root, _d, fs in os.walk(path):
+            files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    matching = total = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = names[column]
+        for rg in range(md.num_row_groups):
+            total += 1
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                matching += 1  # no stats → cannot skip
+            elif not (st.max < lo or st.min > hi):
+                matching += 1
+    return matching, total
