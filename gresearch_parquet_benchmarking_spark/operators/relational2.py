@@ -229,3 +229,183 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q2_cheapest_per_brand",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_name,
+           CAST(p.p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+)
+def q2_cheapest_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery per group (cheapest part of
+    each brand, ties kept). Decorrelated the Spark way: per-brand min
+    aggregate joined back — one shuffle on the correlation key, which
+    is how Catalyst rewrites the correlated form anyway."""
+    pa = load_table(spark, sf_dir, "part")
+    brand_min = pa.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        pa.join(
+            brand_min,
+            (pa.p_brand == brand_min.b) & (pa.p_retailprice == brand_min.min_price),
+        )
+        .select(
+            "p_brand", "p_partkey", "p_name",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@query(
+    "q4_priority_with_big_lines",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: date-filtered EXISTS semi-join feeding an aggregation
+    (the commit-date predicate adapted to this schema's columns)."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_customer AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_customer
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: histogram of a histogram — orders per customer, then
+    customers per order-count. Two chained aggregations; the second
+    groups on the first's output (tiny), so only the first shuffles
+    real data."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                 ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: conditional-aggregate ratio (promo share of revenue).
+    Both sums decimal-exact, final division one double op."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    pa = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(27,6)"))
+    return li.join(pa, li.l_partkey == pa.p_partkey).agg(
+        (100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q21_multi_supplier_orders",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_shared_orders
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey = l1.l_suppkey
+          AND l3.l_quantity > 49
+    )
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS self-correlations on the fact
+    table (orders a supplier shares with other suppliers, excluding
+    any where that supplier shipped a >49-quantity line). Both
+    correlations become semi/anti self-joins on (orderkey[, suppkey])
+    — three passes over lineitem, one shuffle key each."""
+    su = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey")
+    # EXISTS other-supplier line in same order
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    with_other = l1.join(
+        other, (l1.l_orderkey == other.o2) & (l1.l_suppkey != other.s2), "left_semi"
+    )
+    # NOT EXISTS own big line in same order
+    big_own = li.filter(F.col("l_quantity") > 49).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    kept = with_other.join(
+        big_own,
+        (with_other.l_orderkey == big_own.o3) & (with_other.l_suppkey == big_own.s3),
+        "left_anti",
+    )
+    return (
+        kept.join(su, kept.l_suppkey == su.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_orderkey").alias("n_shared_orders"))
+        .orderBy("s_suppkey")
+    )
