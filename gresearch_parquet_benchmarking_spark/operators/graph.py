@@ -30,11 +30,23 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
     """edges(src long, dst long) undirected → (node long, component
     long) where component = min node id reachable. Label propagation
     to fixpoint."""
-    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    # Persist the symmetrized edge list: it feeds the proposal join in
+    # EVERY iteration — without persist the upstream DAG (e.g. the full
+    # MinHash-LSH pipeline) re-executes each round.
+    sym = (
+        edges.selectExpr("src", "dst")
+        .union(edges.selectExpr("dst AS src", "src AS dst"))
+        .persist()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).persist()
     labels.count()
 
+    # Fixpoint detection: labels are monotone non-increasing, so
+    # SUM(component) strictly decreases on any change — comparing the
+    # sum across rounds replaces a per-iteration join+count with a
+    # single exact-decimal aggregate (one fewer shuffle per round).
+    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
     for _ in range(max_iter):
         # each node proposes its current label to every neighbor;
         # a node's next label = min(own, best proposal)
@@ -49,16 +61,15 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
+    sym.unpersist()
     return labels
 
 

@@ -65,18 +65,27 @@ def all_oracle_sql() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     # Import for registration side effects; idempotent.
+    #
+    # Registration ORDER is deliberate: the round-1 driver snapshot
+    # recorded only the first 50 registrations, leaving the LLM-pipeline
+    # surface (dedup/similarity/text/multimodal/temporal/streaming/graph)
+    # with no hard correctness signal. Those register first now so a
+    # capped sweep covers them; the relational queries (already green in
+    # CORRECTNESS_r01) register after.
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
-        relational,
-        relational2,
-        advanced,
-        graph,
         dedup,
         similarity,
         text,
         multimodal,
         report,
+        graph,
     )
     from gresearch_parquet_benchmarking_spark.streaming import events_stream  # noqa: F401
+    from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
+        relational,
+        relational2,
+        advanced,
+    )
 
 
 # ---------------------------------------------------------------------------

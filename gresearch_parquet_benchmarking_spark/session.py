@@ -42,8 +42,11 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # --- determinism for the DuckDB oracle ---
     "spark.sql.session.timeZone": "UTC",
-    # ANSI off: engine semantics match DuckDB's permissive casts closely
-    # enough, and TPC-H-ish aggregates never overflow at tested SFs.
+    # ANSI pinned ON (the Spark 4.x default, made explicit so a runtime
+    # with a different default can't silently flip cast/index semantics).
+    # All maybe-out-of-bounds access uses F.get / element_at guards
+    # (CLAUDE.md rule 7), which are correct under ANSI.
+    "spark.sql.ansi.enabled": "true",
 }
 
 
@@ -67,11 +70,13 @@ def get_spark(
         shuffle_partitions = cpus
 
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Engine defaults first; caller-specific settings after so they win
+    # (shuffle_partitions is also in _ENGINE_CONFS as a generic default).
+    for k, v in _ENGINE_CONFS.items():
+        builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.ui.enabled", "false")
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
-    for k, v in _ENGINE_CONFS.items():
-        builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

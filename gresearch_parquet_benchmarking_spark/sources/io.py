@@ -118,6 +118,23 @@ def write_parquet(
     return WriteResult(path=path, write_time_s=dt, file_bytes=_dir_bytes(path), options=opts)
 
 
+def arrow_write_timed(table, path: str, codec: str, row_group_rows: int | None = None) -> float:
+    """S2 encode through pyarrow for codecs parquet-mr lacks a jar for
+    in this environment (brotli — reference compression_benchmark.h:7-13,
+    benched at compression_benchmark.cc:52-64). Same Arrow C++ writer
+    family as the reference, so BASELINE §7 comparison is direct."""
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    pq.write_table(
+        table,
+        path,
+        compression="NONE" if codec == "none" else codec.upper(),
+        row_group_size=row_group_rows or table.num_rows,
+    )
+    return time.perf_counter() - t0
+
+
 # ---------------------------------------------------------------------------
 # Readers  (R1–R7)
 # ---------------------------------------------------------------------------
@@ -177,6 +194,28 @@ def read_metadata_timed(path: str) -> MetadataTiming:
         n_columns=len(schema),
         footer_bytes=os.path.getsize(f) if os.path.exists(f) else None,
     )
+
+
+def read_stats_timed(path: str) -> float:
+    """R5 timing aligned with the reference's BenchmarkStats
+    (metadata_benchmark.cc:44-79): the reference re-opens the file per
+    iteration, so the footer thrift decode happens INSIDE its stats
+    window. Re-open here too — `read_metadata_timed.stats_decode_s`
+    (stats access only, on already-decoded metadata) would flatter the
+    engine vs BASELINE §5."""
+    import pyarrow.parquet as pq
+
+    f = _first_parquet_file(path)
+    t0 = time.perf_counter()
+    md = pq.read_metadata(f)
+    stats_seen = 0
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for c in range(row_group.num_columns):
+            st = row_group.column(c).statistics
+            if st is not None and st.has_min_max:
+                stats_seen += 1
+    return time.perf_counter() - t0
 
 
 def spark_schema_timed(spark: SparkSession, path: str) -> tuple[float, int]:

@@ -59,7 +59,12 @@ def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name} did not finish within 300s; "
+                "refusing to return a partially-populated memory table"
+            )
     finally:
         q.stop()
     return result.sparkSession.table(name)

@@ -38,10 +38,14 @@ def _dedup_group(
         for _ in batches:
             pass
         return
+    # Scan EVERY chunk: a key's rows can span multiple Arrow chunks in
+    # one micro-batch, and the min doc_id may arrive in a later chunk.
     first = None
     for pdf in batches:
-        if len(pdf) and first is None:
-            first = pdf.nsmallest(1, "doc_id")
+        if len(pdf):
+            cand = pdf.nsmallest(1, "doc_id")
+            if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
+                first = cand
     if first is not None:
         state.update((True,))
         yield pd.DataFrame(
