@@ -214,6 +214,74 @@ def bench_io(spark) -> dict[str, float]:
     return out
 
 
+def bench_scale(spark, sf_dir: str) -> dict[str, float]:
+    """Scale-stress section (VERDICT r1 next-round #9): exercises the
+    machinery a 100 TB run depends on but the uniform sf0.1 section
+    never triggers.
+
+    * skew_join_lineitem — lineitem with 30% of rows salted onto ONE
+      hot orderkey, joined to orders under lowered AQE skew thresholds
+      (the local-scale analog of a hot-key shuffle at 100 TB; AQE must
+      split the skewed partition, not stall one reducer).
+    * skew_join_uniform — the same join without the hot key, same
+      confs: the comparator that makes the skew number interpretable.
+    * io_fullread_10000c — the 10k-col wide scan with the wide-schema
+      reader tuning (small columnar batches: 4096-row default batches
+      on 10k columns allocate ~160 MB per task per batch and thrash
+      GC; 512 keeps the working set ~20 MB).
+    """
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("jk"), "o_custkey"
+    )
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+    }
+    prev = {k: spark.conf.get(k) for k in skew_confs}
+    for k, v in skew_confs.items():
+        spark.conf.set(k, v)
+    try:
+        skewed = li.withColumn(
+            "jk", F.when(F.rand(7) < 0.3, F.lit(1)).otherwise(F.col("l_orderkey"))
+        )
+        out["skew_join_lineitem"] = round(
+            med(
+                lambda: _noop_time(skewed.join(orders, "jk"))
+            ),
+            4,
+        )
+        uniform = li.withColumn("jk", F.col("l_orderkey"))
+        out["skew_join_uniform"] = round(
+            med(lambda: _noop_time(uniform.join(orders, "jk"))), 4
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+    path = ensure_wide_fixture(10_000, 10_000)
+    prev_batch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+    try:
+        out["io_fullread_10000c"] = round(
+            best(lambda: eio.read_full_timed(spark, path), trials=3, warmups=1), 4
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
+    return out
+
+
+def _noop_time(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def _arrow_read(pq, path: str, columns=None) -> float:
     f = eio._first_parquet_file(path)
     t0 = time.perf_counter()
@@ -233,6 +301,8 @@ def main() -> None:
     if os.environ.get("ENGINE_BENCH_SKIP_IO") != "1":
         results.update(bench_io(spark))
     results.update(bench_queries(spark, sf_dir))
+    if os.environ.get("ENGINE_BENCH_SKIP_SCALE") != "1":
+        results.update(bench_scale(spark, sf_dir))
 
     total = round(sum(results.values()), 4)
     print(
