@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 CODECS = ("none", "snappy", "gzip", "zstd")  # brotli needs an extra jar; gated below
 PAGE_SIZES = (8192, 65536, 1048576, 8388608)  # metadata_benchmark.cc:270
@@ -235,10 +236,24 @@ def read_full_timed(spark: SparkSession, path: str) -> float:
 
 
 def read_columns_timed(spark: SparkSession, path: str, columns: list[str]) -> float:
-    """R3 (data_read_benchmark.cc:66-79): projection scan — Catalyst
-    prunes the parquet requiredSchema to the selected columns."""
+    """R3 (data_read_benchmark.cc:66-79): projection scan.
+
+    The projection is pushed into the reader schema — the Spark
+    equivalent of handing the Arrow reader a column list, and the same
+    physical scan a ``.select(*columns)`` produces (ReadSchema pruned to
+    the columns; pinned by tests/test_plans.py). ``.select()`` on a
+    500-name list additionally pays ~0.5 s of driver-side Catalyst
+    analysis per run (O(width²) attribute resolution) that is plan
+    compilation, not scan work — on a cluster it amortizes over the
+    whole job, but in a timed single-scan benchmark it doubles the
+    number, so the bench path resolves the schema directly. The footer
+    open + schema subset build stay inside the timed window, matching
+    the reference's per-iteration file open."""
     t0 = time.perf_counter()
-    spark.read.parquet(path).select(*columns).write.format("noop").mode("overwrite").save()
+    want = set(columns)
+    full = spark.read.parquet(path).schema
+    sub = StructType([f for f in full.fields if f.name in want])
+    spark.read.schema(sub).parquet(path).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
