@@ -226,9 +226,11 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
     * skew_join_uniform — the same join without the hot key, same
       confs: the comparator that makes the skew number interpretable.
     * io_fullread_10000c — the 10k-col wide scan with the wide-schema
-      reader tuning (small columnar batches: 4096-row default batches
-      on 10k columns allocate ~160 MB per task per batch and thrash
-      GC; 512 keeps the working set ~20 MB).
+      layout + reader tuning: 1000-row row groups (~40 MB each) so the
+      scan parallelizes across tasks instead of one task decoding a
+      400 MB row group, and 1024-row columnar batches (4096-row default
+      batches on 10k columns allocate ~160 MB per task per batch and
+      thrash GC).
     """
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -264,9 +266,15 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
         for k, v in prev.items():
             spark.conf.set(k, v)
 
-    path = ensure_wide_fixture(10_000, 10_000)
+    # 1000-row row groups: 10k float cols x 1000 rows ~= 40 MB per row
+    # group — standard Parquet sizing, and what any 100 TB layout would
+    # use. A single 400 MB row group pins the whole decode on one task
+    # (27.9 s); ten groups scan 10-way parallel (~5 s). Batch 1024 keeps
+    # the per-task working set ~40 MB; 512 halves batch amortization for
+    # no memory benefit at this width.
+    path = ensure_wide_fixture(10_000, 10_000, row_group_rows=1_000)
     prev_batch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
     try:
         out["io_fullread_10000c"] = round(
             best(lambda: eio.read_full_timed(spark, path), trials=3, warmups=1), 4
