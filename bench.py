@@ -276,6 +276,29 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
         for k, v in prev.items():
             spark.conf.set(k, v)
 
+    # Bucketed co-location vs shuffle join (sources/bucketing.py): the
+    # same orders⋈lineitem with both sides pre-bucketed on the join key
+    # (Exchange-free SMJ, pinned by tests/test_bucketing.py) against the
+    # raw-parquet shuffle baseline. The one-time bucketed write is a
+    # fixture, outside the timing.
+    from gresearch_parquet_benchmarking_spark.sources.bucketing import (
+        bucketed_orders_lineitem_join,
+        plain_orders_lineitem_join,
+    )
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed_orders_lineitem_join(spark, sf_dir).collect()  # fixture write + warm
+        out["join_bucketed_colocated"] = round(
+            med(lambda: _noop_time(bucketed_orders_lineitem_join(spark, sf_dir))), 4
+        )
+        out["join_shuffle_baseline"] = round(
+            med(lambda: _noop_time(plain_orders_lineitem_join(spark, sf_dir))), 4
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
     # 1000-row row groups: 10k float cols x 1000 rows ~= 40 MB per row
     # group — standard Parquet sizing, and what any 100 TB layout would
     # use. A single 400 MB row group pins the whole decode on one task
