@@ -86,6 +86,7 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         advanced,
+        tpch2,
     )
 
 
