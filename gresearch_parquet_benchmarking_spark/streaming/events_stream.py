@@ -157,3 +157,66 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — Spark's
+    built-in bounded-state dedup (complements the custom
+    applyInPandasWithState dedup in streaming/stateful_dedup.py).
+
+    State for a key is evicted once the watermark passes it, so memory
+    is bounded by keys-per-watermark-window instead of all-time keys —
+    the property that makes streaming dedup deployable against an
+    unbounded 100 TB/day source. Output projects ONLY the dedup key
+    columns, so the result equals DISTINCT regardless of which
+    duplicate arrived first (the batch oracle stays exact: the single
+    parquet file drives one micro-batch, within which all duplicates
+    collapse whatever their event-time spread)."""
+    ev = _read_event_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = _run_to_table(deduped, "append")
+    return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 6)} AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    customer dimension (broadcast — re-read per micro-batch, never
+    shuffled) and aggregates per market segment. This is the canonical
+    'enrich events with a dim table' deployment shape; at 100 TB/day
+    the static side stays a broadcast snapshot while the stream scales
+    horizontally. The batch oracle is the same join+aggregate."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    ev = _read_event_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.orderBy("c_mktsegment")
