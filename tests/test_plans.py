@@ -73,3 +73,34 @@ def test_broadcast_hint_respected_small_dim(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     df = li.join(F.broadcast(na), li.l_suppkey == na.n_nationkey)
     assert has_broadcast_join(df)
+
+
+def test_q7_nation_pair_broadcast_and_pushdown(spark):
+    from gresearch_parquet_benchmarking_spark.operators import tpch2
+
+    df = tpch2.q7_volume_shipping(spark, SF_SMOKE)
+    # ship-date window reaches the lineitem scan
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    # both 25-row nation copies broadcast — no shuffle for the pair filter
+    assert has_broadcast_join(df)
+
+
+def test_q11_scalar_subquery_is_broadcast_not_collect(spark):
+    from gresearch_parquet_benchmarking_spark.operators import tpch2
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    df = tpch2.q11_important_stock(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # the global-total comparison must be a broadcast nested loop over a
+    # 1-row relation, never a driver-side collect stitched into the plan
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_q16_anti_join_broadcast(spark):
+    from gresearch_parquet_benchmarking_spark.operators import tpch2
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    df = tpch2.q16_supplier_part_count(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan and "Broadcast" in plan
