@@ -81,7 +81,7 @@ def _ensure_loaded() -> None:
         graph,
     )
     from gresearch_parquet_benchmarking_spark.streaming import events_stream  # noqa: F401
-    from gresearch_parquet_benchmarking_spark.operators import pipeline, sketches  # noqa: F401
+    from gresearch_parquet_benchmarking_spark.operators import pipeline, sketches, profile  # noqa: F401
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         relational,
         relational2,
