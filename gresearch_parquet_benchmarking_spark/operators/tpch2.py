@@ -36,7 +36,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # Built lazily: constructing a Column requires an active SparkContext,
+    # and this module must import cleanly before any session exists (the
+    # driver may enumerate queries() first).
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 SQL_REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -88,7 +94,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(dsum(REV, 6, alias="revenue"))
+        .agg(dsum(_rev(), 6, alias="revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -153,7 +159,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), su.s_nationkey == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            REV.alias("volume"),
+            _rev().alias("volume"),
             "supp_nation",
         )
     )
@@ -198,7 +204,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
     )
-    profit = REV - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    profit = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(pa, li.l_partkey == pa.p_partkey)
         .join(su, li.l_suppkey == su.s_suppkey)
@@ -223,15 +229,15 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
         GROUP BY l_partkey
     ), total AS (
-        -- re-accumulate the doubles in decimal: the grand total must be
+        -- re-accumulate the doubles in decimal: the mean must be
         -- order-independent or the threshold comparison can flip a
         -- borderline part between engines
-        SELECT CAST(SUM(CAST(part_value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mean_value
         FROM nation_value
     )
     SELECT p_key AS p_partkey, part_value
     FROM nation_value, total
-    WHERE part_value > 0.002 * total_value
+    WHERE part_value > 2.0 * mean_value
     ORDER BY part_value DESC, p_partkey
     """,
 )
@@ -240,9 +246,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     flows from shipped quantity × retail price (no partsupp). Keeps
     Q11's defining shape — a grouped aggregate HAVING-compared against
     a GLOBAL scalar subquery — executed as a broadcast single-row
-    cross join (no collect; the 1-row total side is broadcast).
-    Threshold 0.002 ≈ 4× the mean part share, so ~5-10% of parts
-    qualify at any SF."""
+    cross join (no collect; the 1-row mean side is broadcast).
+    Threshold 2× the MEAN part value: scale-invariant (an absolute
+    share fraction empties out as part count grows — the max share is
+    ~2.8/nparts in this data), selective (~5-10% qualify), and >0 rows
+    at every SF (CLAUDE.md rule 9)."""
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part")
     su = _t(spark, sf_dir, "supplier")
@@ -258,11 +266,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(value, 6, alias="part_value"))
     )
     total = nation_value.agg(
-        F.sum(F.col("part_value").cast("decimal(27,6)")).cast("double").alias("total_value")
+        (
+            F.sum(F.col("part_value").cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("mean_value")
     )
     return (
         nation_value.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > 0.002 * F.col("total_value"))
+        .filter(F.col("part_value") > 2.0 * F.col("mean_value"))
         .select(F.col("p_key").alias("p_partkey"), "part_value")
         .orderBy(F.desc("part_value"), F.asc("p_partkey"))
     )
@@ -338,7 +348,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(REV, 6, alias="total_revenue")
+        dsum(_rev(), 6, alias="total_revenue")
     )
     best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     su = _t(spark, sf_dir, "supplier")

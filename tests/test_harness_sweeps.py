@@ -34,9 +34,17 @@ def test_metadata_sweep_shape(spark, ws):
         "total_decode_time_us", "thrift_decode_time_us", "schema_build_time_us",
         "stats_decode_time_us", "size_bytes",
     }
-    # BASELINE §1 shape: decode time and size grow with width
-    assert rows[1]["total_decode_time_us"] > rows[0]["total_decode_time_us"]
+    # BASELINE §1 shape: size grows with width (structural, deterministic)
     assert rows[1]["size_bytes"] > 5 * rows[0]["size_bytes"]
+    # ...and decode time grows with width. Sub-ms timings flake under CPU
+    # contention (a scheduler stall on the 10-col probe can exceed the
+    # whole 10x structural gap), so retry with deeper trials before
+    # calling it a real shape violation.
+    for attempt in range(3):
+        if rows[1]["total_decode_time_us"] > rows[0]["total_decode_time_us"]:
+            break
+        rows = metadata_sweep(spark, ws, col_counts=(10, 100), n_rows=2000, trials=9)
+    assert rows[1]["total_decode_time_us"] > rows[0]["total_decode_time_us"]
 
 
 def test_data_read_sweep_shape(spark, ws):
