@@ -4,8 +4,11 @@ notes partitioning as the dimension it lacks).
 
 A date/category-partitioned layout turns WHERE clauses on the
 partition column into directory-level pruning (zero I/O for excluded
-partitions) — visible as PartitionFilters in the scan node, asserted
-in tests/test_partitioned.py.
+partitions) — visible as PartitionFilters in the scan node. Both
+static pruning (literal predicate) and dynamic partition pruning
+(key constrained only through a join: Spark injects a dynamicpruning
+subquery into the fact scan) are asserted in
+tests/test_sources_formats.py.
 """
 
 from __future__ import annotations

@@ -54,6 +54,36 @@ def test_partition_pruning_reads_less(spark, workdir):
     assert one.rdd.getNumPartitions() <= full.rdd.getNumPartitions()
 
 
+def test_dynamic_partition_pruning(spark, workdir):
+    """Join-driven pruning: when the partition key is only constrained
+    THROUGH a join (no literal predicate on the fact), Spark must inject
+    a dynamicpruning subquery into the fact scan's PartitionFilters so
+    excluded years are never read — the mechanism that keeps a
+    time-partitioned 100 TB fact table cheap to join against a filtered
+    dim."""
+    path = f"{workdir}/li_part"  # written by test_partitioned_write_and_pruning
+    fact = spark.read.parquet(path)
+    # The dim filter must be a RANGE: an equality like year(d)=1997 gets
+    # constant-folded through the join into a static PartitionFilter
+    # (no subquery needed). A range keeps the surviving year set
+    # runtime-only, forcing the dynamicpruning mechanism itself.
+    dim = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderdate").between("1997-02-01", "1997-10-31"))
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+    joined = fact.join(dim, fact.ship_year == dim.yr).select("l_orderkey", "ship_year")
+    plan = formatted_plan(joined)
+    scan_filters = plan.split("PartitionFilters:")[1].split("]]")[0]
+    assert "dynamicpruning" in scan_filters
+    # and the pruned join returns exactly the 1997 slice
+    assert (
+        joined.count()
+        == fact.filter(F.col("ship_year") == 1997).count()
+    )
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
 def test_format_roundtrip(spark, workdir, fmt):
     src = (
