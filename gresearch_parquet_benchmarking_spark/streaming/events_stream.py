@@ -23,28 +23,27 @@ from pyspark.sql import types as T
 from gresearch_parquet_benchmarking_spark.operators.registry import query, sql_dsum
 from gresearch_parquet_benchmarking_spark.sources.tables import table_path
 
-# Parquet schema with nanos-as-long (sources/events.py rationale).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """readStream needs a user-supplied schema; probe the batch footer so
+    the stream schema tracks the physical ``ts`` layout (epoch-ns long
+    for TIMESTAMP(NANOS) data, timestamp_ntz for µs data —
+    sources/events.py rationale)."""
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_schema(spark, sf_dir)
     # FileStreamSource needs a directory; glob-filter down to the one table
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # µs timestamp layout; session tz is UTC so ntz→timestamp is identity
+    return stream.withColumn("ts_ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
