@@ -142,7 +142,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         WHEN 1 THEN 'audio/wav'
                                         ELSE 'video/mp4' END AS kind,
            COUNT(*) AS n_assets,
-           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
            MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
     FROM documents
     GROUP BY 1

@@ -24,7 +24,7 @@ SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes
     oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type

@@ -251,7 +251,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            {sql_davg('n_chars')} AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars

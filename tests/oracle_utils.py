@@ -48,6 +48,19 @@ def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
     )
     if len(actual) != len(expected):
         problems.append(f"row counts differ: spark={len(actual)} oracle={len(expected)}")
+    # Typed check, emulating the driver's value-hash gate: DuckDB's
+    # SUM(integer) returns HUGEINT (pandas float64 / arrow decimal128)
+    # while Spark returns BIGINT — values compare equal in pandas but
+    # the driver hashes typed values and fails. Flag int-vs-float kind
+    # mismatches so the uncast-SUM class of bug is caught locally.
+    for c in actual.columns:
+        ak, ek = actual[c].dtype.kind, expected[c].dtype.kind
+        if {ak, ek} == {"i", "f"} or {ak, ek} == {"u", "f"}:
+            problems.append(
+                f"column {c!r}: dtype kind mismatch spark={actual[c].dtype} "
+                f"oracle={expected[c].dtype} (driver hash gate fails on typed "
+                f"values — cast the oracle, e.g. CAST(SUM(x) AS BIGINT))"
+            )
     a = _normalize(actual)
     e = _normalize(expected)
     if len(a) == len(e):
