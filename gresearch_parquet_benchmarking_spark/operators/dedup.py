@@ -45,18 +45,25 @@ SIMHASH_BITS = 16
 # Corpus builders (Spark + SQL twins)
 # ---------------------------------------------------------------------------
 
-def _corpus(spark: SparkSession, sf_dir: str, transform: str) -> DataFrame:
+def _corpus(
+    spark: SparkSession, sf_dir: str, transform: str, spread: bool = True
+) -> DataFrame:
     """documents ∪ planted copies. transform ∈ exact|reversed|neardup.
 
-    The corpus file is small but the per-row signature work downstream
-    is heavy (md5 per shingle per permutation) — a single-file input
-    would pin the whole pipeline to one core. Repartition when the
-    scan has fewer splits than cores; at real scale the corpus already
-    arrives in thousands of splits and this is a no-op."""
+    ``spread=True`` (signature pipelines): the corpus file is small but
+    the per-row signature work downstream is heavy (md5 per shingle per
+    permutation) — a single-file input would pin the whole pipeline to
+    one core, so repartition when the scan has fewer splits than cores;
+    at real scale the corpus already arrives in thousands of splits and
+    this is a no-op. ``spread=False`` (exact-dedup paths): the only
+    downstream work is one md5 per row before the groupBy's own
+    exchange — an up-front repartition would shuffle the full text to
+    save nothing (round-2 verdict: dedup_exact 0.89→2.16 s)."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
-    par = spark.sparkContext.defaultParallelism
-    if doc.rdd.getNumPartitions() < max(par // 2, 2):
-        doc = doc.repartition(par)
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if doc.rdd.getNumPartitions() < max(par // 2, 2):
+            doc = doc.repartition(par)
     toks = tokens_col("text")
     if transform == "exact":
         mutated = F.col("text")
@@ -112,7 +119,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on md5(text) (constant-width shuffle key — at
     100 TB the text itself never crosses the wire), keep min doc_id.
     Planted exact copies collapse to n_copies=2."""
-    corpus = _corpus(spark, sf_dir, "exact")
+    corpus = _corpus(spark, sf_dir, "exact", spread=False)
     return (
         corpus.groupBy(F.md5("text").alias("content_key"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -137,7 +144,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive exact dedup: the planted copies are
     token-REVERSED, so raw md5 misses them but the sorted-token
     fingerprint catches every planted pair (and only those)."""
-    corpus = _corpus(spark, sf_dir, "reversed")
+    corpus = _corpus(spark, sf_dir, "reversed", spread=False)
     return (
         corpus.groupBy(norm_fingerprint_col("text").alias("norm_key"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
