@@ -4,10 +4,13 @@ matches into dedup GROUPS (every production dedup ends here: pairs
 alone can't tell you which one document to keep out of a chain
 A~B~C).
 
-This is the engine's representative *iterative* algorithm (SURVEY §2.9
-— genuinely non-SQL-expressible, so the query entry is rows-only by
-design; semantics are pinned by tests/test_graph.py with planted
-chains).
+This is the engine's representative *iterative* algorithm (SURVEY
+§2.9). The Spark side is a label-propagation fixpoint (not SQL), but
+the RESULT — min reachable doc_id per node — is expressible in DuckDB
+as a recursive CTE over the same LSH candidate edges, so since round 3
+the query is fully hash-checked (the bounded sf0.01 edge set keeps the
+recursive enumeration tiny); semantics are additionally pinned by
+tests/test_graph.py with planted chains.
 
 Scale shape: each iteration is one shuffle (groupBy node) over the
 edge list; labels monotonically decrease so convergence is bounded by
@@ -73,7 +76,55 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
     return labels
 
 
-@query("dedup_connected_components")  # rows-only: iterative fixpoint, no SQL twin
+def _oracle_sql() -> str:
+    """Recursive min-label reachability over the SAME candidate-pair
+    edges as the Spark side (LSH SQL fragments reused from dedup.py).
+    ``reach`` enumerates (node, reachable-label) pairs with UNION-dedup
+    semantics — finite and tiny on the sf0.01 near-dup graph."""
+    from gresearch_parquet_benchmarking_spark.operators.dedup import _SQL_BANDS, _SQL_SIG
+
+    return f"""
+    WITH RECURSIVE {_SQL_SIG},
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT e.dst AS node, r.lab
+        FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT c.node AS doc_id,
+           c.component AS cluster_rep,
+           s.cluster_size
+    FROM comp c
+    JOIN (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    ) s USING (component)
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_connected_components", oracle=_oracle_sql)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (MinHash-LSH, jaccard ≥ 0.5) → dedup clusters:
     each document mapped to its cluster representative (min doc_id),

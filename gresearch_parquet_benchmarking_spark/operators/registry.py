@@ -31,15 +31,22 @@ from pyspark.sql import functions as F
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL: dict[str, str | Callable[[], str]] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; ``oracle`` is the DuckDB-SQL twin.
 
-    Omit ``oracle`` only for genuinely non-SQL-expressible operators
-    (MinHash-LSH banding, streaming state) — the driver then records a
-    weaker rows-only check.
+    ``oracle`` may be a zero-arg callable resolved lazily at
+    ``all_oracle_sql()`` time — for oracles whose SQL is composed from
+    another module's fragments without forcing that module to import
+    (and register its queries) at decoration time, which would disturb
+    the deliberate registration order.
+
+    Omit ``oracle`` only for genuinely non-SQL-expressible operators —
+    the driver then records a weaker rows-only check.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -60,6 +67,9 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracle_sql() -> dict[str, str]:
     _ensure_loaded()
+    for k, v in ORACLE_SQL.items():
+        if callable(v):
+            ORACLE_SQL[k] = v()
     return dict(ORACLE_SQL)
 
 
