@@ -14,6 +14,7 @@ source gets state eviction for free.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,15 +24,27 @@ from pyspark.sql import types as T
 from gresearch_parquet_benchmarking_spark.operators.registry import query, sql_dsum
 from gresearch_parquet_benchmarking_spark.sources.tables import table_path
 
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """readStream needs a user-supplied schema; probe the batch footer so
     the stream schema tracks the physical ``ts`` layout (epoch-ns long
     for TIMESTAMP(NANOS) data, timestamp_ntz for µs data —
-    sources/events.py rationale)."""
-    return spark.read.parquet(table_path(sf_dir, "events")).schema
+    sources/events.py rationale). Cached per resolved path: four
+    streaming queries per run would otherwise probe four times."""
+    key = os.path.realpath(table_path(sf_dir, "events"))
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(table_path(sf_dir, "events")).schema
+    return _SCHEMA_CACHE[key]
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events with the SAME column contract as the batch
+    loader (sources/events.py): ts BIGINT epoch-ns, ts_us BIGINT
+    epoch-µs, ts_ts TIMESTAMP(µs) — whichever physical layout the
+    parquet shipped with, so no query can silently pick up a
+    layout-dependent type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = _events_schema(spark, sf_dir)
     # FileStreamSource needs a directory; glob-filter down to the one table
@@ -41,9 +54,14 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if isinstance(schema["ts"].dataType, T.LongType):
-        return stream.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # µs timestamp layout; session tz is UTC so ntz→timestamp is identity
-    return stream.withColumn("ts_ts", F.col("ts").cast("timestamp"))
+        # TIMESTAMP(NANOS) layout surfaced as epoch-ns longs
+        stream = stream.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        # µs timestamp layout; session tz is UTC so ntz→timestamp is identity
+        stream = stream.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ).withColumn("ts", F.col("ts_us") * F.lit(1000).cast("long"))
+    return stream.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
 
 
 def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
