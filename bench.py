@@ -71,6 +71,45 @@ READ_COLS = (10, 100, 1000)          # BASELINE §2
 READ_ROWS = 100_000
 CODECS = ("none", "snappy", "gzip", "zstd")  # BASELINE §7 minus brotli (no codec jar)
 
+# --- contention robustness (round-3, VERDICT r2 "What's wrong" #3) --------
+# The r2 driver bench ran on a contended host: even unchanged pure-pyarrow
+# entries recorded 57-170x their r1 values. Three defenses, none of which
+# ever substitutes a historical number for a fresh measurement:
+#   1. adaptive best-of: if max/min spread across trials exceeds
+#      SPREAD_LIMIT, a noisy neighbor hit part of the window — extend it
+#      (up to EXTRA_TRIALS more) so at least one trial lands clean;
+#   2. history-triggered re-measure: per-entry best-ever values persist
+#      under $ENGINE_BENCH_CACHE; a fresh value >3x the entry's recorded
+#      best re-runs that entry once before being accepted;
+#   3. the JSON line carries contention_suspects — how many entries
+#      STAYED >3x their historical best after re-measure — so a
+#      contaminated artifact is visibly flagged instead of silently wrong.
+SPREAD_LIMIT = 3.0
+EXTRA_TRIALS = 4
+SUSPECT_RATIO = 3.0
+
+CACHE_DIR = os.environ.get("ENGINE_BENCH_CACHE", "/tmp/engine_bench_cache")
+HISTORY_PATH = os.path.join(CACHE_DIR, "bench_history.json")
+HISTORY: dict[str, float] = {}
+SUSPECTS: list[str] = []
+
+
+def _load_history() -> None:
+    try:
+        with open(HISTORY_PATH) as f:
+            HISTORY.update({k: float(v) for k, v in json.load(f).items()})
+    except (OSError, ValueError):
+        pass
+
+
+def _save_history() -> None:
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        with open(HISTORY_PATH, "w") as f:
+            json.dump(HISTORY, f, indent=0, sort_keys=True)
+    except OSError:
+        pass
+
 
 def med(fn, trials=TRIALS, warmups=WARMUPS) -> float:
     for _ in range(warmups):
@@ -79,12 +118,33 @@ def med(fn, trials=TRIALS, warmups=WARMUPS) -> float:
 
 
 def best(fn, trials=TRIALS, warmups=WARMUPS) -> float:
-    """Best-of-N for micro-benchmarks: the reference's numbers are
-    single quiet-machine runs; min filters shared-JVM noise (GC,
-    page-cache state) the same way."""
+    """Adaptive best-of-N for micro-benchmarks: the reference's numbers
+    are single quiet-machine runs; min filters shared-JVM noise (GC,
+    page-cache state) the same way. When the trial spread exceeds
+    SPREAD_LIMIT the window was disturbed — extend it."""
     for _ in range(warmups):
         fn()
-    return min(fn() for _ in range(trials))
+    vals = [fn() for _ in range(trials)]
+    extra = 0
+    while max(vals) / max(min(vals), 1e-9) > SPREAD_LIMIT and extra < EXTRA_TRIALS:
+        vals.append(fn())
+        extra += 1
+    return min(vals)
+
+
+def measured(out: dict, name: str, thunk, trials=TRIALS, warmups=WARMUPS, nd=4) -> None:
+    """Record best(thunk) under ``name`` with history-triggered
+    re-measurement: a value >SUSPECT_RATIO x this entry's best-ever is
+    re-run once (fresh measurement, never a substituted number); if it
+    stays high it is recorded as measured AND flagged in SUSPECTS."""
+    val = best(thunk, trials=trials, warmups=warmups)
+    ref = HISTORY.get(name)
+    if ref is not None and val > SUSPECT_RATIO * ref:
+        val = min(val, best(thunk, trials=trials, warmups=0))
+        if val > SUSPECT_RATIO * ref:
+            SUSPECTS.append(name)
+    HISTORY[name] = min(val, ref) if ref is not None else val
+    out[name] = round(val, nd)
 
 
 def _run_query_once(fn, spark, sf_dir: str) -> float:
@@ -118,27 +178,24 @@ def bench_io(spark) -> dict[str, float]:
         # cache/frequency state run-to-run; they sit closest to the 2x
         # gate (BASELINE §1/§3/§5), so give them a deep best-of window
         mt, mw = (11, 2) if n >= 10_000 else (TRIALS, WARMUPS)
-        out[f"io_meta_{n}c"] = round(
-            best(lambda: eio.read_metadata_timed(path).total_s, trials=mt, warmups=mw), 6
-        )
+        measured(out, f"io_meta_{n}c", lambda: eio.read_metadata_timed(path).total_s,
+                 trials=mt, warmups=mw, nd=6)
         # stats timing re-opens the file inside the window, matching the
         # reference's BenchmarkStats measurement (metadata_benchmark.cc:44-79)
-        out[f"io_stats_{n}c"] = round(
-            best(lambda: eio.read_stats_timed(path), trials=mt, warmups=mw), 6
-        )
+        measured(out, f"io_stats_{n}c", lambda: eio.read_stats_timed(path),
+                 trials=mt, warmups=mw, nd=6)
         nostats = ensure_wide_fixture(n, 10_000, stats=False)
-        out[f"io_stats_off_{n}c"] = round(
-            best(lambda: eio.read_stats_timed(nostats), trials=mt, warmups=mw), 6
-        )
+        measured(out, f"io_stats_off_{n}c", lambda: eio.read_stats_timed(nostats),
+                 trials=mt, warmups=mw, nd=6)
         # §3: full vs subset schema build split (pyarrow, the
         # reference's own §3 measurement path)
         if n >= 100:
-            out[f"io_schema_full_{n}c"] = round(
-                best(lambda: eio.subset_schema_timed(path)["full_total_s"], trials=mt, warmups=mw), 6
-            )
-            out[f"io_schema_subset_{n}c"] = round(
-                best(lambda: eio.subset_schema_timed(path)["subset_total_s"], trials=mt, warmups=mw), 6
-            )
+            measured(out, f"io_schema_full_{n}c",
+                     lambda: eio.subset_schema_timed(path)["full_total_s"],
+                     trials=mt, warmups=mw, nd=6)
+            measured(out, f"io_schema_subset_{n}c",
+                     lambda: eio.subset_schema_timed(path)["subset_total_s"],
+                     trials=mt, warmups=mw, nd=6)
 
     # §2: read ops at 100k rows. Fixture layout matches the reference's
     # files (10k-row groups, data_generator.cc:35) — splittable scans;
@@ -157,25 +214,18 @@ def bench_io(spark) -> dict[str, float]:
             # span all of a 3-trial window, and io_halfread_1000c is
             # the least-headroom entry vs BASELINE (BENCH.md) — best-of-7
             scan_trials = 7 if n >= 1000 else TRIALS
-            out[f"io_meta_100kr_{n}c"] = round(
-                best(lambda: eio.read_metadata_timed(path).total_s), 6
-            )
-            out[f"io_fullread_{n}c"] = round(
-                best(lambda: eio.read_full_timed(spark, path), trials=scan_trials, warmups=2), 4
-            )
-            out[f"io_fullread_arrow_{n}c"] = round(best(lambda: _arrow_read(pq, path)), 4)
-            out[f"io_halfread_{n}c"] = round(
-                best(lambda: eio.read_columns_timed(spark, path, half), trials=scan_trials, warmups=2), 4
-            )
-            out[f"io_halfread_arrow_{n}c"] = round(
-                best(lambda: _arrow_read(pq, path, half)), 4
-            )
-            out[f"io_pageread_{n}c"] = round(
-                best(lambda: eio.read_single_column_timed(spark, path, first)), 4
-            )
-            out[f"io_pageread_arrow_{n}c"] = round(
-                best(lambda: _arrow_read(pq, path, [first])), 4
-            )
+            measured(out, f"io_meta_100kr_{n}c",
+                     lambda: eio.read_metadata_timed(path).total_s, nd=6)
+            measured(out, f"io_fullread_{n}c",
+                     lambda: eio.read_full_timed(spark, path), trials=scan_trials, warmups=2)
+            measured(out, f"io_fullread_arrow_{n}c", lambda: _arrow_read(pq, path))
+            measured(out, f"io_halfread_{n}c",
+                     lambda: eio.read_columns_timed(spark, path, half),
+                     trials=scan_trials, warmups=2)
+            measured(out, f"io_halfread_arrow_{n}c", lambda: _arrow_read(pq, path, half))
+            measured(out, f"io_pageread_{n}c",
+                     lambda: eio.read_single_column_timed(spark, path, first))
+            measured(out, f"io_pageread_arrow_{n}c", lambda: _arrow_read(pq, path, [first]))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
@@ -189,11 +239,11 @@ def bench_io(spark) -> dict[str, float]:
     # leaves write-churn (page cache, GC) inside the decode timings
     for codec in CODECS:
         path = f"/tmp/engine_bench_write_{codec}"
-        out[f"io_enc_{codec}_1000c"] = round(
-            best(
-                lambda: eio.write_parquet(df, path, codec=codec, single_file=False).write_time_s
-            ),
-            4,
+        measured(
+            out, f"io_enc_{codec}_1000c",
+            lambda codec=codec, path=path: eio.write_parquet(
+                df, path, codec=codec, single_file=False
+            ).write_time_s,
         )
     df.unpersist()
     spark.catalog.clearCache()
@@ -202,9 +252,9 @@ def bench_io(spark) -> dict[str, float]:
         # io_dec_none_1000c shares io_halfread's low BASELINE headroom —
         # best-of-7 there too (BENCH.md variance note)
         dec_trials = 7 if codec == "none" else TRIALS
-        out[f"io_dec_{codec}_1000c"] = round(
-            best(lambda: eio.read_full_timed(spark, path), trials=dec_trials, warmups=2), 4
-        )
+        measured(out, f"io_dec_{codec}_1000c",
+                 lambda path=path: eio.read_full_timed(spark, path),
+                 trials=dec_trials, warmups=2)
 
     # §7 brotli row (BASELINE §7 row 4): parquet-mr has no brotli codec
     # class in this environment, so Spark can neither write nor read it;
@@ -216,11 +266,10 @@ def bench_io(spark) -> dict[str, float]:
         src = ensure_wide_fixture(1000, 10_000, codec="none")
         table = pq.read_table(src)
         bpath = "/tmp/engine_bench_write_brotli.parquet"
-        out["io_enc_brotli_1000c"] = round(
-            best(lambda: eio.arrow_write_timed(table, bpath, "brotli")), 4
-        )
+        measured(out, "io_enc_brotli_1000c",
+                 lambda: eio.arrow_write_timed(table, bpath, "brotli"))
         del table
-        out["io_dec_brotli_1000c"] = round(best(lambda: _arrow_read(pq, bpath)), 4)
+        measured(out, "io_dec_brotli_1000c", lambda: _arrow_read(pq, bpath))
     return out
 
 
@@ -301,17 +350,18 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
 
     # 1000-row row groups: 10k float cols x 1000 rows ~= 40 MB per row
     # group — standard Parquet sizing, and what any 100 TB layout would
-    # use. A single 400 MB row group pins the whole decode on one task
-    # (27.9 s); ten groups scan 10-way parallel (~5 s). Batch 1024 keeps
-    # the per-task working set ~40 MB; 512 halves batch amortization for
-    # no memory benefit at this width.
+    # use. A single 400 MB row group pins the whole decode on one task;
+    # ten groups scan 10-way parallel (the recorded artifact is the
+    # claim — measured ~5-6x faster than the single-row-group layout on
+    # a quiet host; see BENCH.md). Batch 1024 keeps the per-task working
+    # set ~40 MB; 512 halves batch amortization for no memory benefit at
+    # this width.
     path = ensure_wide_fixture(10_000, 10_000, row_group_rows=1_000)
     prev_batch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
     try:
-        out["io_fullread_10000c"] = round(
-            best(lambda: eio.read_full_timed(spark, path), trials=3, warmups=1), 4
-        )
+        measured(out, "io_fullread_10000c",
+                 lambda: eio.read_full_timed(spark, path), trials=3, warmups=1)
     finally:
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
     return out
@@ -336,6 +386,7 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    _load_history()
     results: dict[str, float] = {}
     # io first: scan micro-benchmarks need a quiet JVM (query-section
     # cached data + GC pressure inflates them otherwise)
@@ -345,6 +396,7 @@ def main() -> None:
     if os.environ.get("ENGINE_BENCH_SKIP_SCALE") != "1":
         results.update(bench_scale(spark, sf_dir))
 
+    _save_history()
     total = round(sum(results.values()), 4)
     print(
         json.dumps(
@@ -354,6 +406,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # entries still >3x their recorded best after one fresh
+                # re-measure — nonzero means the host was contended and
+                # the affected rows should be read with that in mind
+                "contention_suspects": sorted(SUSPECTS),
             }
         )
     )
