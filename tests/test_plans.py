@@ -104,3 +104,36 @@ def test_q16_anti_join_broadcast(spark):
     df = tpch2.q16_supplier_part_count(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_dedup_exact_no_pre_aggregation_exchange(spark):
+    """Round-3 fix: the exact-dedup path must not round-robin-shuffle
+    the corpus text before the md5 groupBy — the only exchanges are the
+    groupBy's own hash partitioning and the final sort (VERDICT r2:
+    the unconditional repartition tripled dedup_exact)."""
+    from gresearch_parquet_benchmarking_spark.operators import dedup
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    df = dedup.dedup_exact(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "roundrobin" not in plan.lower(), "repartition leaked back into exact dedup"
+
+
+def test_vocab_cooccurrence_broadcasts_vocab(spark):
+    """The 12-row vocabulary must broadcast; the only shuffling join is
+    the per-doc-bounded doc_id self-join."""
+    from gresearch_parquet_benchmarking_spark.operators import pipeline2
+
+    df = pipeline2.vocab_cooccurrence(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_bigrams_stay_in_codegen(spark):
+    """zip_with/slice bigram construction is pure Catalyst — no Python
+    evaluator may appear in the plan."""
+    from gresearch_parquet_benchmarking_spark.operators import pipeline2
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    df = pipeline2.text_bigram_counts(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
