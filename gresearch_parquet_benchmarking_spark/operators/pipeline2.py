@@ -329,9 +329,15 @@ def vocab_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(VOCAB_K)
         .select("token")
     )
+    # Persist the filtered (doc_id, vocab-token) pairs: they feed BOTH
+    # sides of the self-join — without persist Spark re-executes the
+    # explode + vocab aggregate per alias branch (same pattern as the
+    # LSH signature persist, dedup.py). At 100 TB this materializes as
+    # an intermediate table; persist is the local analog.
     d = (
         doc.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
         .join(F.broadcast(vocab), "token")
+        .persist()
     )
     a, b = d.alias("a"), d.alias("b")
     return (
