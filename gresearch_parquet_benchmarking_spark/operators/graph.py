@@ -76,15 +76,16 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
     return labels
 
 
-def _oracle_sql() -> str:
-    """Recursive min-label reachability over the SAME candidate-pair
-    edges as the Spark side (LSH SQL fragments reused from dedup.py).
-    ``reach`` enumerates (node, reachable-label) pairs with UNION-dedup
-    semantics — finite and tiny on the sf0.01 near-dup graph."""
+def comp_ctes_sql() -> str:
+    """The recursive CTE chain ending in ``comp(node, component)`` —
+    min-label reachability over the SAME candidate-pair edges as the
+    Spark side (LSH SQL fragments reused from dedup.py). ``reach``
+    enumerates (node, reachable-label) pairs with UNION-dedup semantics
+    — finite and tiny on the sf0.01 near-dup graph. Shared by this
+    module's oracle and dedup_survivorship_by_source (pipeline2)."""
     from gresearch_parquet_benchmarking_spark.operators.dedup import _SQL_BANDS, _SQL_SIG
 
-    return f"""
-    WITH RECURSIVE {_SQL_SIG},
+    return f"""{_SQL_SIG},
     bands AS ({_SQL_BANDS}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -112,7 +113,12 @@ def _oracle_sql() -> str:
         SELECT e.dst AS node, r.lab
         FROM reach r JOIN edges e ON e.src = r.node
     ),
-    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)"""
+
+
+def _oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE {comp_ctes_sql()}
     SELECT c.node AS doc_id,
            c.component AS cluster_rep,
            s.cluster_size

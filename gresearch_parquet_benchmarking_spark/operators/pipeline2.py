@@ -469,3 +469,113 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(27,9)))
+                      AS DOUBLE) / COUNT(*)
+                 - log2(CAST((SELECT t FROM total) AS DOUBLE)), 6) AS avg_logprob
+    FROM toks JOIN vocab USING (token)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity proxy: per-document average unigram log2-probability
+    under the corpus's own unigram model — the classic cheap
+    fluency/junk score (low = rare-token soup). avg_logprob =
+    Σ log2(c_tok)/n_tokens − log2(T); per-token log2 terms are over
+    small integers, rounded to 9 dp and DECIMAL-accumulated (same
+    determinism treatment as text_char_entropy). Scale posture: the
+    token join shuffles (token, count) pairs — broadcast at small
+    vocab, SMJ at web-scale vocab, AQE decides; the corpus total is a
+    1-row broadcast, never a collect."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.explode(tokens_col("text")).alias("token")).persist()
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("t"))
+    term = F.round(F.log2(F.col("c").cast("double")), 9).cast("decimal(27,9)")
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(term).alias("s"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("s").cast("double") / F.col("n_tokens")
+                - F.log2(F.col("t").cast("double")),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _survivorship_oracle() -> str:
+    from gresearch_parquet_benchmarking_spark.operators.graph import comp_ctes_sql
+
+    # `corpus` (the neardup variant) is already defined inside the CTE
+    # chain — the survivorship accounting reuses it directly.
+    return f"""
+    WITH RECURSIVE {comp_ctes_sql()}
+    SELECT c.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN k.node IS NULL OR k.component = c.doc_id
+               THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(CASE WHEN k.node IS NOT NULL AND k.component <> c.doc_id
+               THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+           ROUND(CAST(SUM(CASE WHEN k.node IS NULL OR k.component = c.doc_id
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS kept_rate
+    FROM corpus c
+    LEFT JOIN comp k ON c.doc_id = k.node
+    GROUP BY c.source
+    ORDER BY c.source
+    """
+
+
+@query("dedup_survivorship_by_source", oracle=_survivorship_oracle)
+def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup survivorship: near-dup pairs → connected
+    components → keep the cluster representative (min doc_id), keep
+    every unclustered doc — then account kept/dropped per source. This
+    is the number a curation run actually reports ("source X lost 4%
+    to near-dups"). One left join of the corpus against the (tiny)
+    clustered-node set; the iterative CC cost is shared machinery
+    (operators/graph.py)."""
+    from gresearch_parquet_benchmarking_spark.operators.dedup import _corpus
+    from gresearch_parquet_benchmarking_spark.operators.graph import (
+        dedup_connected_components,
+    )
+
+    corpus = _corpus(spark, sf_dir, "neardup", spread=False)
+    comp = dedup_connected_components(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc"), "cluster_rep"
+    )
+    joined = corpus.join(comp, corpus.doc_id == F.col("c_doc"), "left")
+    kept = F.when(
+        F.col("c_doc").isNull() | (F.col("doc_id") == F.col("cluster_rep")), 1
+    ).otherwise(0)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(1 - kept).cast("long").alias("n_dropped"),
+            F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("kept_rate"),
+        )
+        .orderBy("source")
+    )
