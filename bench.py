@@ -94,12 +94,25 @@ HISTORY: dict[str, float] = {}
 SUSPECTS: list[str] = []
 
 
+SEED_HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_results", "bench_history_seed.json"
+)
+
+
 def _load_history() -> None:
-    try:
-        with open(HISTORY_PATH) as f:
-            HISTORY.update({k: float(v) for k, v in json.load(f).items()})
-    except (OSError, ValueError):
-        pass
+    # Committed seed first (quiet-machine best-evers from the round the
+    # seed was recorded), then the local cache overrides with anything
+    # better seen on THIS host — so even a cold-cache driver run gets
+    # re-measure protection against a contended host.
+    for path in (SEED_HISTORY_PATH, HISTORY_PATH):
+        try:
+            with open(path) as f:
+                for k, v in json.load(f).items():
+                    v = float(v)
+                    if k not in HISTORY or v < HISTORY[k]:
+                        HISTORY[k] = v
+        except (OSError, ValueError):
+            pass
 
 
 def _save_history() -> None:
