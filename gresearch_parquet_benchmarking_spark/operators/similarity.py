@@ -474,3 +474,54 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", qdot.alias("qdot"))
         .orderBy("query_id", "neighbor_id")
     )
+
+
+def _recall_oracle() -> str:
+    """Recall@k of the IVF path against brute-force ground truth,
+    composed from the two paths' own registered oracles (nested CTEs —
+    the SQL twin literally re-runs both pipelines)."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import ORACLE_SQL
+
+    bf, ivf = ORACLE_SQL["ann_topk_bruteforce"], ORACLE_SQL["ann_ivf_topk"]
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
+    ivf AS (SELECT query_id, neighbor_id FROM ({ivf}) t)
+    SELECT b.query_id,
+           COUNT(*) AS n_true,
+           SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM bf b
+    LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@query("ann_ivf_recall", oracle=_recall_oracle)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF (nprobe=1) vs exact brute force, per query — the
+    standard quality metric for an approximate index, and the number
+    that decides nprobe/centroid-count tuning at scale. Composes the
+    two existing pipelines; the hit test is a (query_id, neighbor_id)
+    equi-join of two k·|queries|-row results (tiny at any corpus
+    size)."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
