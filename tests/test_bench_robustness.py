@@ -63,8 +63,21 @@ def test_measured_accepts_recovered_value():
 def test_history_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "CACHE_DIR", str(tmp_path))
     monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "h.json"))
+    monkeypatch.setattr(bench, "SEED_HISTORY_PATH", str(tmp_path / "seed.json"))
     bench.HISTORY.update({"a": 0.5})
     bench._save_history()
     bench.HISTORY.clear()
     bench._load_history()
     assert bench.HISTORY == {"a": 0.5}
+
+
+def test_seed_history_loads_and_local_best_wins(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "h.json"))
+    monkeypatch.setattr(bench, "SEED_HISTORY_PATH", str(tmp_path / "seed.json"))
+    (tmp_path / "seed.json").write_text(json.dumps({"x": 1.0, "y": 2.0}))
+    (tmp_path / "h.json").write_text(json.dumps({"y": 0.5}))
+    bench.HISTORY.clear()
+    bench._load_history()
+    assert bench.HISTORY == {"x": 1.0, "y": 0.5}  # min of seed and local
