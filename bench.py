@@ -56,6 +56,8 @@ HEADLINE = [
     "agg_rollup",
     "text_term_frequency",
     "text_quality_score",
+    "text_bigram_counts",
+    "unigram_logprob_score",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
