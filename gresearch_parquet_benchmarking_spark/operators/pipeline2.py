@@ -10,6 +10,13 @@ every aggregation gets map-side partial combine; the only joins are
 per-doc-bounded (vocabulary co-occurrence caps each doc at ≤12 tokens
 before its self-join) or broadcast (12-row vocabulary).
 
+Partitioning note: unlike dedup's signature pipelines these queries
+do NOT pre-spread a single-split input — measured at sf0.1, the
+per-row work (~tens of µs: zip_with bigrams, char explode) is smaller
+than the extra exchange + stage the repartition costs, the same
+trade-off that made the round-3 dedup_exact fix a win in reverse. At
+real scale the input arrives multi-split and the question vanishes.
+
 Determinism notes (registry.py contract): integer sums cast to BIGINT
 in the oracles (CLAUDE.md rule 1a); transcendental terms (log2) are
 rounded to 9 dp then DECIMAL-accumulated so partial-agg order cannot
