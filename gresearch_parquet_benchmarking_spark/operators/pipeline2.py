@@ -449,7 +449,10 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sums (Σn, Σn²) with one identical scalar formula on both
     engines — no float accumulation order anywhere; sqrt and division
     are IEEE-deterministic. Two shuffles total (daily rollup, per-type
-    window), both on low-cardinality keys."""
+    window), both on low-cardinality keys. Integer-exactness bound:
+    Σn² stays within BIGINT while daily counts n ≤ ~5e8 per type over
+    a 30-day window; beyond that switch the squares to DECIMAL(38,0)
+    — still order-independent."""
     ev = load_events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", iso_date(F.date_trunc("day", "ts_ts"), alias="day")
@@ -505,7 +508,10 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism treatment as text_char_entropy). Scale posture: the
     token join shuffles (token, count) pairs — broadcast at small
     vocab, SMJ at web-scale vocab, AQE decides; the corpus total is a
-    1-row broadcast, never a collect."""
+    1-row broadcast, never a collect. The token join key is
+    Zipf-skewed ('the' lands in one partition) — the engine session
+    runs AQE skew-join, which splits hot partitions; the vocab side is
+    one row per token, so no row explosion."""
     doc = load_table(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.explode(tokens_col("text")).alias("token")).persist()
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
