@@ -40,7 +40,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gresearch_parquet_benchmarking_spark.bench.fixtures import ensure_wide_fixture  # noqa: E402
-from gresearch_parquet_benchmarking_spark.operators.registry import all_queries  # noqa: E402
+from gresearch_parquet_benchmarking_spark.operators.registry import (  # noqa: E402
+    all_queries,
+    release_persists,
+)
 from gresearch_parquet_benchmarking_spark.session import get_spark  # noqa: E402
 from gresearch_parquet_benchmarking_spark.sources import io as eio  # noqa: E402
 from gresearch_parquet_benchmarking_spark.sources.datagen import wide_table  # noqa: E402
@@ -174,6 +177,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         fn = queries[name]
         out[name] = round(med(lambda: _run_query_once(fn, spark, sf_dir)), 4)
+        release_persists()  # drop per-query tracked caches between entries
     return out
 
 
@@ -272,9 +276,16 @@ def bench_io(spark) -> dict[str, float]:
                  trials=dec_trials, warmups=2)
 
     # §7 brotli row (BASELINE §7 row 4): parquet-mr has no brotli codec
-    # class in this environment, so Spark can neither write nor read it;
-    # measure encode/decode through pyarrow — the reference's own Arrow
-    # C++ writer/reader family (compression_benchmark.cc:52-64).
+    # class in this environment, so df.write/df.read can't carry it.
+    # Two measurements instead:
+    #  * io_enc/dec_brotli_1000c — single-file pyarrow twin (the
+    #    reference's own Arrow C++ writer/reader family,
+    #    compression_benchmark.cc:52-64) — directly comparable numbers.
+    #  * io_enc/dec_brotli_1000c_spark — the engine's DISTRIBUTED
+    #    brotli path: executor-side pyarrow encoders/decoders inside
+    #    mapInArrow (sources/io.py write_parquet_arrow_codec), one file
+    #    per task / one task per file — the path a user actually runs
+    #    on a cluster.
     import pyarrow as pa
 
     if pa.Codec.is_available("brotli"):
@@ -285,6 +296,20 @@ def bench_io(spark) -> dict[str, float]:
                  lambda: eio.arrow_write_timed(table, bpath, "brotli"))
         del table
         measured(out, "io_dec_brotli_1000c", lambda: _arrow_read(pq, bpath))
+
+        bdf = wide_table(spark, 1000, 10_000, n_partitions=16).persist()
+        bdf.count()
+        bspark_path = "/tmp/engine_bench_write_brotli_spark"
+        measured(
+            out, "io_enc_brotli_1000c_spark",
+            lambda: eio.write_parquet_arrow_codec(
+                bdf, bspark_path, codec="brotli"
+            ).write_time_s,
+        )
+        bdf.unpersist()
+        spark.catalog.clearCache()
+        measured(out, "io_dec_brotli_1000c_spark",
+                 lambda: eio.read_arrow_codec_timed(spark, bspark_path))
     return out
 
 

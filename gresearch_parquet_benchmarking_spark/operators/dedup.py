@@ -31,7 +31,7 @@ from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
     norm_fingerprint_col,
     tokens_col,
 )
-from gresearch_parquet_benchmarking_spark.operators.registry import query
+from gresearch_parquet_benchmarking_spark.operators.registry import query, track_persist
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
 INJECT_EVERY = 25          # plant a transformed copy of every k-th doc
@@ -285,7 +285,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full md5 pipeline per branch (~10×). At 100 TB this materializes
     # as a signature table (checkpoint/write); persist is the local
     # analog.
-    sig = _signature_df(spark, sf_dir).persist()
+    sig = track_persist(_signature_df(spark, sf_dir))
     # bands via a single posexplode over an array of (band,k1,k2)
     # structs — one pass over sig instead of an N_BANDS-way union
     band_structs = F.array(
@@ -488,7 +488,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the constant-width (band, k1, k2) bucket ids; exact Jaccard
     touches candidate pairs, never a block's cross product."""
     corpus = _corpus(spark, sf_dir, "neardup")
-    sig = corpus.select(
+    sig = track_persist(corpus.select(
         "doc_id", _bigrams(tokens_col("text")).alias("grams")
     ).select(
         "doc_id",
@@ -497,7 +497,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _minhash(F.col("grams"), _BG_SEED + h).alias(f"mh{h}")
             for h in range(N_MINHASH)
         ],
-    ).persist()
+    ))
     band_structs = F.array(
         *[
             F.struct(

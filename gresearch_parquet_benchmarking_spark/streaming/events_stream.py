@@ -237,3 +237,72 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(agg, "complete")
     return out.orderBy("c_mktsegment")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purch_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purch_ts_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purch_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click events joined to purchase
+    events of the same user within 30 minutes after the click — the
+    attribution query every event pipeline runs. Both sides are
+    independent streams, both watermarked (2 h), so the join state for
+    a click is evicted once the watermark passes its 30-minute match
+    window — bounded state against an unbounded source. Inner interval
+    joins emit matches as they arrive (append mode, no watermark wait).
+
+    The batch oracle is the equivalent self-join with the same interval
+    predicate; tests/test_stream_stream_join.py pins the late/out-of-
+    window semantics on staged micro-batches."""
+    clicks = (
+        _read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts_us").alias("click_ts_us"),
+            F.col("ts_ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purch_id"),
+            F.col("ts_us").alias("purch_ts_us"),
+            F.col("ts_ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purch_id",
+        "click_ts_us",
+        "purch_ts_us",
+        (F.col("purch_ts_us") - F.col("click_ts_us")).alias("lag_us"),
+    )
+    out = _run_to_table(joined, "append")
+    return out.orderBy("click_id", "purch_id")

