@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gresearch_parquet_benchmarking_spark.operators.registry import (  # noqa: E402
     all_oracle_sql,
     all_queries,
+    release_persists,
 )
 from gresearch_parquet_benchmarking_spark.session import apply_engine_confs  # noqa: E402
 
@@ -42,6 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # drop cache blocks the PREVIOUS query's builder tracked —
+            # keeps a 50-query driver sweep leak-free without the
+            # driver needing to call clearCache itself
+            release_persists()
             apply_engine_confs(spark)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             return fn(spark, sf_dir)

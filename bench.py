@@ -135,16 +135,29 @@ def med(fn, trials=TRIALS, warmups=WARMUPS) -> float:
     return statistics.median(fn() for _ in range(trials))
 
 
+def _window_disturbed(vals: list[float], base: int) -> bool:
+    """Spread check over the ``base`` SMALLEST trials only: once enough
+    clean trials dominate, a contaminated outlier kept in ``vals`` can
+    no longer force the window to keep extending. Sub-resolution
+    timings (spread below 0.1 ms) are clean by definition — a raw 0
+    from a sub-µs thunk must not read as infinite spread."""
+    k = sorted(vals)[:base]
+    if k[-1] - k[0] < 1e-4:
+        return False
+    return k[-1] / max(k[0], 1e-9) > SPREAD_LIMIT
+
+
 def best(fn, trials=TRIALS, warmups=WARMUPS) -> float:
     """Adaptive best-of-N for micro-benchmarks: the reference's numbers
     are single quiet-machine runs; min filters shared-JVM noise (GC,
     page-cache state) the same way. When the trial spread exceeds
-    SPREAD_LIMIT the window was disturbed — extend it."""
+    SPREAD_LIMIT the window was disturbed — extend it (until the
+    ``trials`` cleanest measurements agree, or EXTRA_TRIALS runs out)."""
     for _ in range(warmups):
         fn()
     vals = [fn() for _ in range(trials)]
     extra = 0
-    while max(vals) / max(min(vals), 1e-9) > SPREAD_LIMIT and extra < EXTRA_TRIALS:
+    while _window_disturbed(vals, trials) and extra < EXTRA_TRIALS:
         vals.append(fn())
         extra += 1
     return min(vals)
@@ -163,6 +176,14 @@ def measured(out: dict, name: str, thunk, trials=TRIALS, warmups=WARMUPS, nd=4) 
             SUSPECTS.append(name)
     HISTORY[name] = min(val, ref) if ref is not None else val
     out[name] = round(val, nd)
+
+
+def _task_or_wall(spark, thunk) -> float:
+    """Executor task time of the stages ``thunk`` launched; falls back
+    to wall time (the honest upper bound) if the UI REST probe is
+    unavailable."""
+    wall, task = eio.timed_with_task_time(spark, thunk)
+    return task if task is not None else wall
 
 
 def _run_query_once(fn, spark, sf_dir: str) -> float:
@@ -245,6 +266,37 @@ def bench_io(spark) -> dict[str, float]:
             measured(out, f"io_pageread_{n}c",
                      lambda: eio.read_single_column_timed(spark, path, first))
             measured(out, f"io_pageread_arrow_{n}c", lambda: _arrow_read(pq, path, [first]))
+            # floor-honest companion (VERDICT r3 #3): ONE task (splits
+            # disabled for the probe) and executor task time only —
+            # wall minus the fixed per-job driver cost that dominates
+            # these small-file rows and amortizes away at scale. The
+            # single task makes the number directly comparable to the
+            # reference's single-threaded read
+            # (data_read_benchmark.cc:81-97); what remains above the
+            # arrow twin is parquet-mr's in-task work (its per-task
+            # footer decode grows with table width).
+            def _single_split_task(thunk):
+                spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 30))
+                try:
+                    return _task_or_wall(spark, thunk)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024)
+                    )
+
+            measured(
+                out, f"io_pageread_task_{n}c",
+                lambda: _single_split_task(
+                    lambda: eio.read_single_column_timed(spark, path, first)
+                ),
+            )
+            if n == 10:
+                measured(
+                    out, "io_fullread_task_10c",
+                    lambda: _single_split_task(
+                        lambda: eio.read_full_timed(spark, path)
+                    ),
+                )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
@@ -423,7 +475,13 @@ def _arrow_read(pq, path: str, columns=None) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="engine-bench")
+    # UI on (random port): the io_*_task_* entries read per-stage
+    # executorRunTime from the UI REST API to split the ~130 ms
+    # driver/scheduler floor out of small-file read timings.
+    spark = get_spark(
+        app_name="engine-bench",
+        extra_confs={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+    )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     _load_history()

@@ -36,6 +36,42 @@ def test_best_no_extension_when_quiet():
     assert val == 1.0
 
 
+def test_best_stops_extending_once_clean_trials_dominate():
+    # One contaminated outlier in the window must not pin the spread
+    # condition true forever: after `trials` clean extension trials the
+    # k-smallest window is clean and extension stops (r3 advice — the
+    # old max-over-all-vals check always burned all EXTRA_TRIALS).
+    seq = iter([100.0, 1.0, 1.1, 1.0, 1.05, 1.02])
+    calls = []
+
+    def thunk():
+        v = next(seq, 1.0)
+        calls.append(v)
+        return v
+
+    val = bench.best(thunk, trials=3, warmups=0)
+    assert val == 1.0
+    # 3 base + enough extensions for 3 clean trials; NOT the full
+    # 3 + EXTRA_TRIALS(4) = 7 the old check always reached
+    assert len(calls) == 4, calls
+
+
+def test_best_sub_resolution_zero_is_not_disturbed():
+    # A raw 0.0 from a sub-µs thunk used to read as infinite spread and
+    # force guaranteed extension; timings within timer resolution of
+    # each other are clean.
+    seq = iter([0.0, 2e-5, 5e-5])
+    calls = []
+
+    def thunk():
+        v = next(seq, 1e-5)
+        calls.append(v)
+        return v
+
+    bench.best(thunk, trials=3, warmups=0)
+    assert len(calls) == 3, calls
+
+
 def test_measured_remeasures_against_history_and_flags():
     out: dict = {}
     bench.HISTORY["x"] = 1.0

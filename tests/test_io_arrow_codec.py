@@ -54,3 +54,13 @@ def test_arrow_codec_read_is_one_task_per_file(spark, tmp_path):
         assert back.rdd.getNumPartitions() == 3
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_task_time_probe_falls_back_without_ui(spark):
+    # the shared test session runs spark.ui.enabled=false: the REST
+    # probe must degrade to (wall, None) and _task_or_wall to wall
+    import bench
+
+    wall, task = eio.timed_with_task_time(spark, lambda: spark.range(10).count())
+    assert wall > 0 and task is None
+    assert bench._task_or_wall(spark, lambda: spark.range(10).count()) > 0
