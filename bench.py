@@ -65,8 +65,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
     "sessionization",
     "asof_join_purchase_click",
+    "stream_stream_join",
 ]
 
 TRIALS = 3
@@ -74,7 +76,7 @@ WARMUPS = 1
 META_COLS = (10, 100, 1000, 10000)   # BASELINE §1/§5
 READ_COLS = (10, 100, 1000)          # BASELINE §2
 READ_ROWS = 100_000
-CODECS = ("none", "snappy", "gzip", "zstd")  # BASELINE §7 minus brotli (no codec jar)
+CODECS = ("none", "snappy", "gzip", "zstd")  # parquet-mr codecs; brotli runs through the Arrow-codec sink below
 
 # --- contention robustness (round-3, VERDICT r2 "What's wrong" #3) --------
 # The r2 driver bench ran on a contended host: even unchanged pure-pyarrow
