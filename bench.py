@@ -458,6 +458,18 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
                  lambda: eio.read_full_timed(spark, path), trials=3, warmups=1)
     finally:
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
+
+    # Z-order clustering rewrite (sources/layout.py): the one-time
+    # OPTIMIZE cost a layout pays to buy multi-dimensional row-group
+    # skipping (skipping ratios pinned by tests/test_layout_skipping).
+    # Timed as key computation + range shuffle + sort → noop (the write
+    # itself is codec-benched elsewhere).
+    from gresearch_parquet_benchmarking_spark.sources.layout import zorder_by
+
+    li_full = load_table(spark, sf_dir, "lineitem")
+    out["layout_zorder_lineitem"] = round(
+        med(lambda: _noop_time(zorder_by(li_full, ["l_shipdate", "l_partkey"]))), 4
+    )
     return out
 
 

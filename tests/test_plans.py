@@ -137,3 +137,31 @@ def test_bigrams_stay_in_codegen(spark):
     df = pipeline2.text_bigram_counts(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_nprobe2_probe_side_broadcast_no_cartesian(spark):
+    """The nprobe=2 candidate join must stay a broadcast equi-join on
+    the bucket id: probes (10 queries × 2 buckets) broadcast, corpus
+    never replicated, no cartesian product anywhere."""
+    from gresearch_parquet_benchmarking_spark.plans.explain import simple_plan
+
+    df = similarity.ann_ivf_topk_nprobe2(spark, SF_SMOKE)
+    plan = simple_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_single_range_shuffle_no_python(spark):
+    """The Z-order rewrite is one range shuffle over a codegen key
+    expression: exactly one Exchange (rangepartitioning on the Morton
+    key), no Python evaluator, no extra hash shuffle."""
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan, simple_plan
+    from gresearch_parquet_benchmarking_spark.sources.layout import zorder_by
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = zorder_by(li, ["l_shipdate", "l_partkey"])
+    plan = simple_plan(df)
+    fplan = formatted_plan(df)
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
