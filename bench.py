@@ -165,15 +165,22 @@ def best(fn, trials=TRIALS, warmups=WARMUPS) -> float:
     return min(vals)
 
 
-def measured(out: dict, name: str, thunk, trials=TRIALS, warmups=WARMUPS, nd=4) -> None:
-    """Record best(thunk) under ``name`` with history-triggered
-    re-measurement: a value >SUSPECT_RATIO x this entry's best-ever is
-    re-run once (fresh measurement, never a substituted number); if it
-    stays high it is recorded as measured AND flagged in SUSPECTS."""
-    val = best(thunk, trials=trials, warmups=warmups)
+def measured(
+    out: dict, name: str, thunk, trials=TRIALS, warmups=WARMUPS, nd=4, stat=None
+) -> None:
+    """Record stat(thunk) (default :func:`best`) under ``name`` with
+    history-triggered re-measurement: a value >SUSPECT_RATIO x this
+    entry's best-ever is re-run once (fresh measurement, never a
+    substituted number); if it stays high it is recorded as measured
+    AND flagged in SUSPECTS. Pass ``stat=med`` for the query section's
+    median protocol — queries get the same contention protection as the
+    io micro-benches (a bench run concurrent with any other Spark job
+    would otherwise publish silently inflated query times)."""
+    stat = stat or best
+    val = stat(thunk, trials=trials, warmups=warmups)
     ref = HISTORY.get(name)
     if ref is not None and val > SUSPECT_RATIO * ref:
-        val = min(val, best(thunk, trials=trials, warmups=0))
+        val = min(val, stat(thunk, trials=trials, warmups=0))
         if val > SUSPECT_RATIO * ref:
             SUSPECTS.append(name)
     HISTORY[name] = min(val, ref) if ref is not None else val
@@ -199,7 +206,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        out[name] = round(med(lambda: _run_query_once(fn, spark, sf_dir)), 4)
+        measured(
+            out, name, lambda: _run_query_once(fn, spark, sf_dir), stat=med
+        )
         release_persists()  # drop per-query tracked caches between entries
     return out
 
@@ -405,16 +414,11 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
         skewed = li.withColumn(
             "jk", F.when(F.rand(7) < 0.3, F.lit(1)).otherwise(F.col("l_orderkey"))
         )
-        out["skew_join_lineitem"] = round(
-            med(
-                lambda: _noop_time(skewed.join(orders, "jk"))
-            ),
-            4,
-        )
+        measured(out, "skew_join_lineitem",
+                 lambda: _noop_time(skewed.join(orders, "jk")), stat=med)
         uniform = li.withColumn("jk", F.col("l_orderkey"))
-        out["skew_join_uniform"] = round(
-            med(lambda: _noop_time(uniform.join(orders, "jk"))), 4
-        )
+        measured(out, "skew_join_uniform",
+                 lambda: _noop_time(uniform.join(orders, "jk")), stat=med)
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
@@ -433,12 +437,12 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         bucketed_orders_lineitem_join(spark, sf_dir).collect()  # fixture write + warm
-        out["join_bucketed_colocated"] = round(
-            med(lambda: _noop_time(bucketed_orders_lineitem_join(spark, sf_dir))), 4
-        )
-        out["join_shuffle_baseline"] = round(
-            med(lambda: _noop_time(plain_orders_lineitem_join(spark, sf_dir))), 4
-        )
+        measured(out, "join_bucketed_colocated",
+                 lambda: _noop_time(bucketed_orders_lineitem_join(spark, sf_dir)),
+                 stat=med)
+        measured(out, "join_shuffle_baseline",
+                 lambda: _noop_time(plain_orders_lineitem_join(spark, sf_dir)),
+                 stat=med)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
@@ -467,9 +471,9 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
     from gresearch_parquet_benchmarking_spark.sources.layout import zorder_by
 
     li_full = load_table(spark, sf_dir, "lineitem")
-    out["layout_zorder_lineitem"] = round(
-        med(lambda: _noop_time(zorder_by(li_full, ["l_shipdate", "l_partkey"]))), 4
-    )
+    measured(out, "layout_zorder_lineitem",
+             lambda: _noop_time(zorder_by(li_full, ["l_shipdate", "l_partkey"])),
+             stat=med)
     return out
 
 
