@@ -1,0 +1,351 @@
+"""Round-4 training-data-pipeline operators: sequence packing,
+incremental corpus dedup, importance-weighted sampling, domain mixture
+rebalancing, and curriculum ordering.
+
+Absent from the reference (SURVEY.md §2.9 extension surface); these are
+the batch-composition operators an LLM training pipeline runs after
+cleaning/dedup (operators/pipeline.py, pipeline2.py, dedup.py) and
+before the data loader.
+
+Design for 100 TB:
+* sequence_packing is a per-partition prefix sum (one shuffle on the
+  partition key, then a sorted within-partition scan). At real scale
+  the two-pass distributed prefix-sum refinement applies: range-
+  partition by (lang, doc_id), compute per-range token totals (tiny),
+  broadcast the per-range base offsets, then offset locally — the
+  window below IS that second pass, so the shape survives 1000
+  executors.
+* dedup_incremental joins on constant-width md5 fingerprints — the
+  new batch never re-reads corpus text, only its fingerprint index
+  (the standard incremental-crawl contract). No broadcast hint: at
+  scale both sides are large; AQE picks the strategy (CLAUDE.md
+  rule 10).
+* sampling / mixture / curriculum are pure map-side expressions plus
+  one small aggregation; sampling decisions are md5-hash-deterministic
+  (reproducible across reruns and cluster layouts — never rand()).
+* curriculum_deciles uses NTILE within language, which sorts each
+  language in one task; at 100 TB swap the exact NTILE for fixed
+  cutpoints from approx_percentile over the score (map-side
+  width_bucket) — documented trade-off, same output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
+    md5_hash64,
+    norm_fingerprint_col,
+    sql_md5_hash64,
+    tokens_col,
+)
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    davg,
+    query,
+    sql_davg,
+)
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+PACK_BUDGET = 256          # tokens per packed context window
+SPLIT_PCT = 80             # % of docs in the standing corpus; rest = new batch
+PLANT_EVERY = 25           # plant a duplicate of every k-th doc (see dedup.py)
+_P1_OFFSET = 1_000_000     # planted batch copies of corpus docs
+_P2_OFFSET = 2_000_000     # planted in-batch duplicate pairs
+
+_SQL_FP = "md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))"
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    offs AS (
+        SELECT lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM toks
+    ),
+    binned AS (
+        SELECT lang, n_tok,
+               off // {PACK_BUDGET} AS bin,
+               (off + n_tok - 1) // {PACK_BUDGET} AS end_bin
+        FROM offs
+    )
+    SELECT lang, CAST(bin AS BIGINT) AS bin,
+           COUNT(*) AS n_docs_started,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
+           CAST(SUM(CASE WHEN end_bin > bin THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+    FROM binned
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split context packing (the GPT-style loader model):
+    documents are concatenated in (lang, doc_id) order and cut every
+    PACK_BUDGET tokens; each doc starts in bin floor(offset/BUDGET) and
+    may span into the next. Reports per-bin fill accounting — docs
+    started, tokens contributed, boundary-spanning docs — the numbers
+    that size a packed training shard."""
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    binned = (
+        base.withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("bin", F.expr(f"off div {PACK_BUDGET}"))
+        .withColumn("end_bin", F.expr(f"(off + n_tok - 1) div {PACK_BUDGET}"))
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_started"),
+            F.sum("n_tok").alias("tokens_started"),
+            F.sum(F.when(F.col("end_bin") > F.col("bin"), 1).otherwise(0)).alias(
+                "n_spanning"
+            ),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+_SQL_SPLIT_H = f"{sql_md5_hash64('CAST(doc_id AS VARCHAR)')} % 100"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, text, source, {_SQL_SPLIT_H} AS h FROM documents
+    ),
+    corpus AS (SELECT * FROM hashed WHERE h < {SPLIT_PCT}),
+    batch_base AS (SELECT * FROM hashed WHERE h >= {SPLIT_PCT}),
+    batch AS (
+        SELECT doc_id, text, source FROM batch_base
+        UNION ALL
+        SELECT doc_id + {_P1_OFFSET}, text, source
+        FROM corpus WHERE doc_id % {PLANT_EVERY} = 0
+        UNION ALL
+        SELECT doc_id + {_P2_OFFSET}, text, source
+        FROM batch_base WHERE doc_id % {PLANT_EVERY} = 0
+    ),
+    corpus_fp AS (SELECT DISTINCT {_SQL_FP} AS fp FROM corpus),
+    flagged AS (
+        SELECT b.source, {_SQL_FP} AS fp,
+               ({_SQL_FP} IN (SELECT fp FROM corpus_fp)) AS in_corpus
+        FROM batch b
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+           CAST(COUNT(DISTINCT CASE WHEN NOT in_corpus THEN fp END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT in_corpus THEN 1 ELSE 0 END)
+                - COUNT(DISTINCT CASE WHEN NOT in_corpus THEN fp END) AS BIGINT)
+               AS n_dup_in_batch
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW crawl batch against a standing corpus without
+    re-deduping the corpus: batch fingerprints anti-match the corpus
+    fingerprint index, then the survivors dedupe among themselves.
+    The corpus/batch split is a deterministic doc_id-hash 80/20; the
+    batch gets planted duplicates (copies of corpus docs → cross-batch
+    dups; second copies of batch docs → in-batch dups) so both
+    detection paths are provably exercised (dedup.py planting model)."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    hashed = doc.withColumn("h", md5_hash64(F.col("doc_id").cast("string")) % 100)
+    corpus = hashed.filter(F.col("h") < SPLIT_PCT)
+    batch_base = hashed.filter(F.col("h") >= SPLIT_PCT)
+    plant = lambda src, off: (  # noqa: E731
+        src.filter(F.col("doc_id") % PLANT_EVERY == 0).select(
+            (F.col("doc_id") + off).alias("doc_id"), "text", "source"
+        )
+    )
+    batch = (
+        batch_base.select("doc_id", "text", "source")
+        .unionByName(plant(corpus, _P1_OFFSET))
+        .unionByName(plant(batch_base, _P2_OFFSET))
+    )
+    corpus_fp = (
+        corpus.select(norm_fingerprint_col("text").alias("fp"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    flagged = (
+        batch.select("source", norm_fingerprint_col("text").alias("fp"))
+        .join(corpus_fp, "fp", "left")
+        .withColumn("in_corpus", F.col("seen").isNotNull())
+    )
+    survivors_fp = F.when(~F.col("in_corpus"), F.col("fp"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).alias("n_dup_corpus"),
+            F.countDistinct(survivors_fp).alias("n_kept"),
+            (
+                F.sum(F.when(~F.col("in_corpus"), 1).otherwise(0))
+                - F.countDistinct(survivors_fp)
+            ).alias("n_dup_in_batch"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN n_chars < 200 THEN 'low'
+                    WHEN n_chars < 350 THEN 'mid' ELSE 'high' END AS tier,
+               CASE WHEN n_chars < 200 THEN 200
+                    WHEN n_chars < 350 THEN 500 ELSE 1000 END AS thr,
+               {sql_md5_hash64("CAST(doc_id AS VARCHAR) || ':w'")} % 1000 AS u
+        FROM documents
+    )
+    SELECT lang, tier,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN u < thr THEN 1 ELSE 0 END) / COUNT(*), 6) AS accept_rate
+    FROM t
+    GROUP BY lang, tier
+    ORDER BY lang, tier
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered downsampling: low/mid/high length tiers keep
+    20%/50%/100% of docs, decided by a salted md5 hash of doc_id —
+    deterministic and content-independent, so reruns and re-partitions
+    keep exactly the same documents (never rand(): CLAUDE.md rule /
+    train_test_split_hash contract). Pure map-side + one small agg."""
+    doc = load_table(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") < 200, "low")
+        .when(F.col("n_chars") < 350, "mid")
+        .otherwise("high")
+    )
+    thr = (
+        F.when(F.col("n_chars") < 200, 200)
+        .when(F.col("n_chars") < 350, 500)
+        .otherwise(1000)
+    )
+    u = md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":w"))) % 1000
+    kept = F.sum(F.when(u < thr, 1).otherwise(0))
+    return (
+        doc.groupBy("lang", tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            F.round(kept / F.count(F.lit(1)), 6).alias("accept_rate"),
+        )
+        .orderBy("lang", "tier")
+    )
+
+
+@query(
+    "mixture_rebalance",
+    oracle="""
+    WITH per AS (
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(chars_total) AS BIGINT) AS chars_all, COUNT(*) AS n_langs
+        FROM per
+    )
+    SELECT lang, n_docs, chars_total,
+           ROUND(LEAST(CAST(1.0 AS DOUBLE), (chars_all / n_langs) / chars_total), 6)
+               AS sample_rate,
+           CAST(FLOOR(n_docs * LEAST(CAST(1.0 AS DOUBLE),
+                                     (chars_all / n_langs) / chars_total)) AS BIGINT)
+               AS n_docs_after
+    FROM per, tot
+    ORDER BY lang
+    """,
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture control: compute the per-language
+    downsampling rate that equalizes the character budget across
+    languages (rate = min(1, fair_share / lang_chars)) and the
+    resulting doc counts — the knob a pretraining mixture spec turns.
+    One groupBy + a broadcast 1-row total; entirely scale-free."""
+    doc = load_table(spark, sf_dir, "documents")
+    per = doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_total")
+    )
+    tot = per.agg(
+        F.sum("chars_total").alias("chars_all"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rate = F.least(
+        F.lit(1.0), (F.col("chars_all") / F.col("n_langs")) / F.col("chars_total")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "chars_total",
+            F.round(rate, 6).alias("sample_rate"),
+            F.floor(F.col("n_docs") * rate).cast("long").alias("n_docs_after"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "curriculum_deciles",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS score
+        FROM documents
+    ),
+    d AS (
+        SELECT lang, n_chars, score,
+               CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY score, doc_id)
+                    AS BIGINT) AS decile
+        FROM s
+    )
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score,
+           {sql_davg('n_chars')} AS avg_chars
+    FROM d
+    GROUP BY lang, decile
+    ORDER BY lang, decile
+    """,
+)
+def curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank documents within each language by a
+    lexical-diversity score (distinct-token ratio) and cut into
+    deciles — the shape a difficulty-ordered training schedule reads.
+    Exact NTILE sorts each language in one task; the 100 TB variant
+    replaces it with approx_percentile cutpoints + width_bucket
+    (map-side), same output contract (module docstring)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    w = W.partitionBy("lang").orderBy(F.asc("score"), F.asc("doc_id"))
+    d = doc.select("doc_id", "lang", "n_chars", score.alias("score")).withColumn(
+        "decile", F.ntile(10).over(w).cast("long")
+    )
+    return (
+        d.groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            davg("n_chars", alias="avg_chars"),
+        )
+        .orderBy("lang", "decile")
+    )

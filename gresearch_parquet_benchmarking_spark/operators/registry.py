@@ -66,6 +66,7 @@ def query(
 # import can perturb — decides which queries get hard driver signal.
 # Round-4 window rationale: see _ensure_loaded.
 _MODULE_ORDER = [
+    "operators.pipeline3",
     "operators.pipeline2",
     "operators.similarity",
     "streaming.events_stream",
@@ -110,18 +111,21 @@ def _ensure_loaded() -> None:
     #
     # Registration ORDER is deliberate: the driver's correctness sweep
     # snapshots only the first 50 registrations per round. Round-4
-    # window (exactly 50): pipeline2 (11 — incl. the two r3 queries no
+    # window (exactly 50): pipeline3 (5 — brand-new this round, never
+    # driver-checked) + pipeline2 (11 — incl. the two r3 queries no
     # driver round ever checked plus the r4 anomaly-DECIMAL / histogram
     # NULLS edits) + similarity (8 — incl. never-checked ann_ivf_recall
     # and new ann_ivf_topk_nprobe2) + events_stream (5 — incl. new
     # stream_stream_join) + advanced (13 — agg_approx_sketches gained a
     # bounds oracle in r4) + dedup (6, driver signal stale since r1/r2)
-    # + sketches (4, stale since r2) + the first 3 of pipeline.
-    # Everything after the window was driver-green in an earlier round
-    # and stays pinned by the local full-registry gate
-    # (scripts_dev/check_queries.py).
+    # + the first 2 of sketches (stale since r2). Displaced vs the
+    # pre-pipeline3 plan: sketch_bloom/countmin + pipeline's first 3 —
+    # all driver-green in r2. Everything after the window was
+    # driver-green in an earlier round and stays pinned by the local
+    # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
+        pipeline3,
         similarity,
     )
     from gresearch_parquet_benchmarking_spark.streaming import events_stream  # noqa: F401

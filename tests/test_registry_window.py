@@ -19,6 +19,12 @@ WINDOW = 50
 # the dedup/sketches modules whose driver signal has been stale since
 # r1/r2.
 MUST_BE_IN_WINDOW = [
+    # brand-new in round 4 (operators/pipeline3.py)
+    "sequence_packing",
+    "dedup_incremental",
+    "sample_importance_weighted",
+    "mixture_rebalance",
+    "curriculum_deciles",
     # never driver-checked before round 4
     "unigram_logprob_score",
     "dedup_survivorship_by_source",
@@ -42,8 +48,9 @@ MUST_BE_IN_WINDOW = [
     "dedup_simhash",
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
-    "sketch_bloom_membership",
-    "sketch_countmin_freq",
+    # sketch_bloom_membership / sketch_countmin_freq were displaced by
+    # the five pipeline3 queries (never-checked beats stale-but-green;
+    # both were driver-green in r2 and stay under the local gate)
 ]
 
 
