@@ -69,7 +69,29 @@ HEADLINE = [
     "sessionization",
     "asof_join_purchase_click",
     "stream_stream_join",
+    "sequence_packing",
+    "dedup_incremental",
 ]
+
+# io/scale rows the printed one-liner retains (the BASELINE.md
+# comparison grid); everything else still lands in
+# bench_results/bench_full.json. See the tail-capture note in main().
+COMPACT_IO_KEYS = [
+    "io_meta_10000c", "io_stats_10000c", "io_stats_off_10000c",
+    "io_meta_100kr_1000c",
+    "io_fullread_10c", "io_fullread_task_10c",
+    "io_fullread_1000c", "io_fullread_arrow_1000c", "io_fullread_10000c",
+    "io_halfread_1000c", "io_halfread_arrow_1000c",
+    "io_pageread_1000c", "io_pageread_arrow_1000c", "io_pageread_task_1000c",
+    "io_enc_none_1000c", "io_enc_snappy_1000c", "io_enc_gzip_1000c",
+    "io_enc_zstd_1000c", "io_enc_brotli_1000c", "io_enc_brotli_1000c_spark",
+    "io_dec_none_1000c", "io_dec_snappy_1000c", "io_dec_gzip_1000c",
+    "io_dec_zstd_1000c", "io_dec_brotli_1000c", "io_dec_brotli_1000c_spark",
+    "skew_join_lineitem", "skew_join_uniform",
+    "join_bucketed_colocated", "join_shuffle_baseline",
+    "layout_zorder_lineitem",
+]
+TAIL_BUDGET = 1900  # driver tail capture is ~2000 bytes (BENCH_r0*.json)
 
 TRIALS = 3
 WARMUPS = 1
@@ -166,7 +188,8 @@ def best(fn, trials=TRIALS, warmups=WARMUPS) -> float:
 
 
 def measured(
-    out: dict, name: str, thunk, trials=TRIALS, warmups=WARMUPS, nd=4, stat=None
+    out: dict, name: str, thunk, trials=TRIALS, warmups=WARMUPS, nd=4, stat=None,
+    hkey: str | None = None,
 ) -> None:
     """Record stat(thunk) (default :func:`best`) under ``name`` with
     history-triggered re-measurement: a value >SUSPECT_RATIO x this
@@ -177,13 +200,14 @@ def measured(
     io micro-benches (a bench run concurrent with any other Spark job
     would otherwise publish silently inflated query times)."""
     stat = stat or best
+    hkey = hkey or name
     val = stat(thunk, trials=trials, warmups=warmups)
-    ref = HISTORY.get(name)
+    ref = HISTORY.get(hkey)
     if ref is not None and val > SUSPECT_RATIO * ref:
         val = min(val, stat(thunk, trials=trials, warmups=0))
         if val > SUSPECT_RATIO * ref:
             SUSPECTS.append(name)
-    HISTORY[name] = min(val, ref) if ref is not None else val
+    HISTORY[hkey] = min(val, ref) if ref is not None else val
     out[name] = round(val, nd)
 
 
@@ -201,13 +225,24 @@ def _run_query_once(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _sf_hist_suffix(sf_dir: str) -> str:
+    """History floors for query/scale entries are sf-dependent; only the
+    default sf0.1 uses the bare (seeded) keys, so a local run at another
+    SF can never poison the floors the driver's sf0.1 run checks
+    against."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return "" if tag == "sf0.1" else f"@{tag}"
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     queries = all_queries()
     out: dict[str, float] = {}
+    sfx = _sf_hist_suffix(sf_dir)
     for name in HEADLINE:
         fn = queries[name]
         measured(
-            out, name, lambda: _run_query_once(fn, spark, sf_dir), stat=med
+            out, name, lambda: _run_query_once(fn, spark, sf_dir), stat=med,
+            hkey=name + sfx,
         )
         release_persists()  # drop per-query tracked caches between entries
     return out
@@ -287,10 +322,16 @@ def bench_io(spark) -> dict[str, float]:
             # arrow twin is parquet-mr's in-task work (its per-task
             # footer decode grows with table width).
             def _single_split_task(thunk):
+                # minPartitionNum=1 is load-bearing: without it,
+                # maxSplitBytes is capped at totalBytes/parallelism and
+                # the "single task" probe actually ran 32 tasks, summing
+                # 32 redundant footer decodes (see make_report.py twin)
                 spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 30))
+                spark.conf.set("spark.sql.files.minPartitionNum", "1")
                 try:
                     return _task_or_wall(spark, thunk)
                 finally:
+                    spark.conf.unset("spark.sql.files.minPartitionNum")
                     spark.conf.set(
                         "spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024)
                     )
@@ -398,6 +439,7 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     out: dict[str, float] = {}
+    sfx = _sf_hist_suffix(sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("jk"), "o_custkey"
@@ -415,10 +457,12 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
             "jk", F.when(F.rand(7) < 0.3, F.lit(1)).otherwise(F.col("l_orderkey"))
         )
         measured(out, "skew_join_lineitem",
-                 lambda: _noop_time(skewed.join(orders, "jk")), stat=med)
+                 lambda: _noop_time(skewed.join(orders, "jk")), stat=med,
+                 hkey="skew_join_lineitem" + sfx)
         uniform = li.withColumn("jk", F.col("l_orderkey"))
         measured(out, "skew_join_uniform",
-                 lambda: _noop_time(uniform.join(orders, "jk")), stat=med)
+                 lambda: _noop_time(uniform.join(orders, "jk")), stat=med,
+                 hkey="skew_join_uniform" + sfx)
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
@@ -439,10 +483,10 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
         bucketed_orders_lineitem_join(spark, sf_dir).collect()  # fixture write + warm
         measured(out, "join_bucketed_colocated",
                  lambda: _noop_time(bucketed_orders_lineitem_join(spark, sf_dir)),
-                 stat=med)
+                 stat=med, hkey="join_bucketed_colocated" + sfx)
         measured(out, "join_shuffle_baseline",
                  lambda: _noop_time(plain_orders_lineitem_join(spark, sf_dir)),
-                 stat=med)
+                 stat=med, hkey="join_shuffle_baseline" + sfx)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
@@ -473,7 +517,7 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
     li_full = load_table(spark, sf_dir, "lineitem")
     measured(out, "layout_zorder_lineitem",
              lambda: _noop_time(zorder_by(li_full, ["l_shipdate", "l_partkey"])),
-             stat=med)
+             stat=med, hkey="layout_zorder_lineitem" + sfx)
     return out
 
 
@@ -514,21 +558,38 @@ def main() -> None:
 
     _save_history()
     total = round(sum(results.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_io_median_total",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # entries still >3x their recorded best after one fresh
-                # re-measure — nonzero means the host was contended and
-                # the affected rows should be read with that in mind
-                "contention_suspects": sorted(SUSPECTS),
-            }
-        )
+    payload = {
+        "metric": "headline_queries_plus_io_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # entries still >3x their recorded best after one fresh
+        # re-measure — nonzero means the host was contended and
+        # the affected rows should be read with that in mind
+        "contention_suspects": sorted(SUSPECTS),
+        "full": "bench_results/bench_full.json",
+    }
+    # The driver records only the LAST ~2000 bytes of stdout and
+    # json-parses them; every prior round's full-detail line overflowed
+    # that window (BENCH_r01..r03 all have parsed=null, tail cut
+    # mid-line). So: full detail goes to a committed file, and the
+    # printed line keeps the headline queries plus the io rows that
+    # BASELINE.md compares, trimmed under the capture window.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results", "bench_full.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    compact = dict(payload)
+    keep = [k for k in results if k in HEADLINE or k in COMPACT_IO_KEYS]
+    spill = [k for k in keep if k not in HEADLINE]  # trim io detail first
+    compact["queries"] = {k: round(results[k], 4) for k in keep}
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > TAIL_BUDGET and spill:
+        compact["queries"].pop(spill.pop())
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

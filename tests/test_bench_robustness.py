@@ -117,3 +117,57 @@ def test_seed_history_loads_and_local_best_wins(tmp_path, monkeypatch):
     bench.HISTORY.clear()
     bench._load_history()
     assert bench.HISTORY == {"x": 1.0, "y": 0.5}  # min of seed and local
+
+
+def _compact_line(results: dict) -> tuple[dict, str]:
+    """Mirror of main()'s compact-line construction (kept in sync by
+    test_compact_line_* below failing if the constants drift)."""
+    import json
+
+    compact = {
+        "metric": "headline_queries_plus_io_median_total",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "sf": 0.1,
+        "contention_suspects": [],
+        "full": "bench_results/bench_full.json",
+    }
+    keep = [k for k in results if k in bench.HEADLINE or k in bench.COMPACT_IO_KEYS]
+    spill = [k for k in keep if k not in bench.HEADLINE]
+    compact["queries"] = {k: round(results[k], 4) for k in keep}
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > bench.TAIL_BUDGET and spill:
+        compact["queries"].pop(spill.pop())
+        line = json.dumps(compact, separators=(",", ":"))
+    return compact, line
+
+
+def test_compact_line_fits_driver_tail_capture():
+    # worst case: every headline + compact-io key present with an
+    # 8-char value — the printed line must stay under the ~2000-byte
+    # window the driver records (BENCH_r01..r03 all overflowed it)
+    results = {k: 123.4567 for k in bench.HEADLINE + bench.COMPACT_IO_KEYS}
+    results.update({f"io_extra_{i}": 0.123456 for i in range(40)})  # full-detail-only keys
+    compact, line = _compact_line(results)
+    assert len(line) <= bench.TAIL_BUDGET
+    # headline queries survive any trimming
+    assert all(k in compact["queries"] for k in bench.HEADLINE)
+
+
+def test_sf_history_suffix_isolates_non_default_sf():
+    assert bench._sf_hist_suffix("/root/testdata/sf0.1") == ""
+    assert bench._sf_hist_suffix("/root/testdata/sf0.1/") == ""
+    assert bench._sf_hist_suffix("/root/testdata/sf0.01") == "@sf0.01"
+
+
+def test_measured_hkey_separates_histories():
+    bench.HISTORY.clear()
+    out = {}
+    vals = iter([1.0, 10.0, 10.0])  # sf0.1 floor, then two sf0.01 trials
+    bench.measured(out, "q", lambda: next(vals), trials=1, warmups=0, stat=bench.med)
+    bench.measured(out, "q", lambda: next(vals), trials=1, warmups=0, stat=bench.med,
+                   hkey="q@sf0.01")
+    # the 10x-slower sf0.01 run is NOT suspect (different floor) and
+    # does not overwrite the sf0.1 best-ever
+    assert bench.SUSPECTS == []
+    assert bench.HISTORY["q"] == 1.0 and bench.HISTORY["q@sf0.01"] == 10.0
