@@ -306,3 +306,107 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(joined, "append")
     return out.orderBy("click_id", "purch_id")
+
+
+# --- streaming over the documents table -----------------------------------
+# (same file-source machinery as the event stream; the module hosts ALL
+# Structured Streaming operators regardless of source table)
+
+def _read_doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = os.path.realpath(table_path(sf_dir, "documents"))
+    cache_key = f"doc::{key}"
+    if cache_key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[cache_key] = spark.read.parquet(
+            table_path(sf_dir, "documents")
+        ).schema
+    return (
+        spark.readStream.schema(_SCHEMA_CACHE[cache_key])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "stream_dedup_incremental",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, text, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+        FROM documents
+    ),
+    corpus AS (SELECT * FROM hashed WHERE h < 80),
+    batch AS (
+        SELECT doc_id, text, source FROM hashed WHERE h >= 80
+        UNION ALL
+        SELECT doc_id + 1000000, text, source FROM corpus WHERE doc_id % 25 = 0
+    ),
+    corpus_fp AS (
+        SELECT DISTINCT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp
+        FROM corpus
+    ),
+    flagged AS (
+        SELECT b.source,
+               (md5(array_to_string(list_sort(string_split(lower(b.text), ' ')), ' '))
+                   IN (SELECT fp FROM corpus_fp)) AS in_corpus
+        FROM batch b
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+           CAST(SUM(CASE WHEN NOT in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup: a STREAM of incoming documents is
+    fingerprint-matched against the static standing-corpus index
+    (stream-static left-outer join on the constant-width md5 key — the
+    anti-join expressed in the stream-supported join family), and
+    per-source accept/drop counters aggregate in complete mode. The
+    planted copies of corpus docs (operators/pipeline3.py model) make
+    the drop path provably non-empty.
+
+    This is the streaming twin of the batch ``dedup_incremental``
+    operator: at 100 TB/day the corpus index is a snapshot the stream
+    joins per micro-batch, and survivors append to the corpus sink —
+    the accounting here is exactly the monitoring table that deployment
+    emits. (In-batch dedup needs a distinct aggregate, which streaming
+    aggregation forbids — that stage stays in the batch operator.)"""
+    from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
+        md5_hash64,
+        norm_fingerprint_col,
+    )
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    doc = _read_doc_stream(spark, sf_dir)
+    h = md5_hash64(F.col("doc_id").cast("string")) % 100
+    batch_base = doc.filter(h >= 80).select("doc_id", "text", "source")
+    planted = (
+        doc.filter((h < 80) & (F.col("doc_id") % 25 == 0))
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source")
+    )
+    batch = batch_base.unionByName(planted)
+
+    corpus_static = load_table(spark, sf_dir, "documents")
+    corpus_fp = (
+        corpus_static.filter(
+            md5_hash64(F.col("doc_id").cast("string")) % 100 < 80
+        )
+        .select(norm_fingerprint_col("text").alias("fp"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    flagged = (
+        batch.withColumn("fp", norm_fingerprint_col("text"))
+        .join(corpus_fp, "fp", "left_outer")
+        .withColumn("in_corpus", F.col("seen").isNotNull())
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).alias("n_dup_corpus"),
+        F.sum(F.when(~F.col("in_corpus"), 1).otherwise(0)).alias("n_survivors"),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.orderBy("source")

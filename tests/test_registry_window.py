@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = [
     # new in round 4
     "ann_ivf_topk_nprobe2",
     "stream_stream_join",
+    "stream_dedup_incremental",
     # changed in round 4 (anomaly DECIMAL(38,0), histogram NULLS pin,
     # tracked persists, IVF nprobe refactor, sketch bounds oracle)
     "events_daily_anomaly",
@@ -47,10 +48,10 @@ MUST_BE_IN_WINDOW = [
     "dedup_minhash_signature",
     "dedup_simhash",
     "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    # sketch_bloom_membership / sketch_countmin_freq were displaced by
-    # the five pipeline3 queries (never-checked beats stale-but-green;
-    # both were driver-green in r2 and stay under the local gate)
+    # sketch_hll/bloom/countmin were displaced by the five pipeline3
+    # queries + stream_dedup_incremental (never-checked beats
+    # stale-but-green; all three were driver-green in r2 and stay under
+    # the local gate)
 ]
 
 
