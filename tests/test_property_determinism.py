@@ -76,3 +76,40 @@ def test_rowwise_double_arithmetic_matches(spark, vals):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     want = dict(con.sql("SELECT i, v * 1.1 + 3.0 FROM t").fetchall())
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.integers(min_value=1, max_value=600)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(**SETTINGS)
+def test_sequence_packing_invariants_random_corpora(spark, docs):
+    """Packing invariants hold for ARBITRARY corpora, not just the
+    shipped testdata: every doc starts in the bin its exclusive prefix
+    sum selects, token totals are conserved per bin, and a doc spans
+    iff its tokens cross the next bin boundary."""
+    from pyspark.sql import Window as W
+
+    from gresearch_parquet_benchmarking_spark.operators.pipeline3 import PACK_BUDGET
+
+    rows = [(i, lang, n) for i, (lang, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    got = (
+        df.withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .withColumn("bin", F.expr(f"off div {PACK_BUDGET}"))
+        .withColumn("end_bin", F.expr(f"(off + n_tok - 1) div {PACK_BUDGET}"))
+        .collect()
+    )
+    # python reference model: sequential concat per lang
+    offsets: dict[str, int] = {}
+    for r in sorted(got, key=lambda r: (r.lang, r.doc_id)):
+        off = offsets.get(r.lang, 0)
+        assert r.off == off
+        assert r.bin == off // PACK_BUDGET
+        assert r.end_bin == (off + r.n_tok - 1) // PACK_BUDGET
+        assert (r.end_bin > r.bin) == (off % PACK_BUDGET + r.n_tok > PACK_BUDGET)
+        offsets[r.lang] = off + r.n_tok
