@@ -89,7 +89,7 @@ COMPACT_IO_KEYS = [
     "io_dec_zstd_1000c", "io_dec_brotli_1000c", "io_dec_brotli_1000c_spark",
     "skew_join_lineitem", "skew_join_uniform",
     "join_bucketed_colocated", "join_shuffle_baseline",
-    "layout_zorder_lineitem",
+    "layout_zorder_lineitem", "layout_compact_lineitem",
 ]
 TAIL_BUDGET = 1900  # driver tail capture is ~2000 bytes (BENCH_r0*.json)
 
@@ -518,6 +518,28 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
     measured(out, "layout_zorder_lineitem",
              lambda: _noop_time(zorder_by(li_full, ["l_shipdate", "l_partkey"])),
              stat=med, hkey="layout_zorder_lineitem" + sfx)
+
+    # Small-file compaction rewrite (sources/compaction.py): the other
+    # periodic layout job. Input fixture = lineitem sprayed into 64
+    # tiny files (the streaming-sink debris pattern), cached like the
+    # wide fixtures; the timed unit is plan + read + clustered rewrite.
+    from gresearch_parquet_benchmarking_spark.sources.compaction import compact
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    frag = os.path.join(CACHE_DIR, f"fragmented_lineitem_{tag}")
+    if not os.path.isdir(frag):
+        load_table(spark, sf_dir, "lineitem").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+    compact_out = os.path.join(CACHE_DIR, f"compacted_lineitem_{tag}")
+
+    def _compact_once() -> float:
+        t0 = time.perf_counter()
+        compact(spark, frag, compact_out, sort_by=["l_orderkey"])
+        return time.perf_counter() - t0
+
+    measured(out, "layout_compact_lineitem", _compact_once,
+             stat=med, hkey="layout_compact_lineitem" + sfx)
     return out
 
 
