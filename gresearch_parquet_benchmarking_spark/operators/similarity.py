@@ -574,3 +574,143 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("nprobe", "query_id")
+
+
+# ---------------------------------------------------------------------------
+# Iterative spherical k-means training (Lloyd iterations, unrolled)
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 5
+KMEANS_ITERS = 3
+
+_KM_COS = (
+    "list_dot_product(a.v, c.cv) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+
+def _kmeans_sql() -> str:
+    """DuckDB twin of the unrolled Lloyd loop: the SAME iteration count
+    generated by the same Python loop as the Spark builder, so the two
+    can never drift."""
+    parts = [
+        f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    centroids_0 AS (
+        SELECT CAST(vec_id AS INT) AS c_id, v AS cv
+        FROM vecs WHERE vec_id < {K_CLUSTERS}
+    )"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(
+            f""",
+    assigned_{it} AS (
+        SELECT vec_id, v, c_id, ccos FROM (
+            SELECT a.vec_id, a.v, c.c_id, {_KM_COS} AS ccos,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_KM_COS} DESC, c.c_id) AS crank
+            FROM vecs a CROSS JOIN centroids_{it} c
+        ) WHERE crank = 1
+    )"""
+        )
+        if it < KMEANS_ITERS - 1:
+            parts.append(
+                f""",
+    flat_{it} AS (
+        SELECT c_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM assigned_{it}
+    ),
+    dims_{it} AS (
+        SELECT c_id, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM flat_{it} GROUP BY c_id, i
+    ),
+    centroids_{it + 1} AS (
+        SELECT c_id, list(cx ORDER BY i) AS cv FROM dims_{it} GROUP BY c_id
+    )"""
+            )
+    last = KMEANS_ITERS - 1
+    parts.append(
+        f"""
+    SELECT CAST(c_id AS INT) AS cluster,
+           COUNT(*) AS n_members,
+           ROUND({sql_davg_ccos()}, 6) AS avg_cos,
+           ROUND(MIN(ccos), 6) AS min_cos
+    FROM assigned_{last}
+    GROUP BY c_id
+    ORDER BY cluster
+    """
+    )
+    return "".join(parts)
+
+
+def sql_davg_ccos() -> str:
+    from gresearch_parquet_benchmarking_spark.operators.registry import sql_davg
+
+    return sql_davg("ccos", 9)
+
+
+@query("kmeans_train", oracle=_kmeans_sql)
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means trained for KMEANS_ITERS (3) Lloyd iterations:
+    seed centroids = the first K vectors, assignment by max cosine
+    (ties to the lowest cluster id), centroid update = exact-decimal
+    per-dimension mean (the cross-engine-deterministic recipe of
+    :func:`_ivf_topk`; single-step version: pipeline.py
+    kmeans_reassign_matrix). Reports per-cluster membership, mean and
+    worst member cosine — the convergence panel a clustering job emits.
+
+    Scale shape per iteration: centroids (K ≪ corpus) broadcast,
+    assignment map-side, update = one groupBy over (K × dim) keys.
+    The unrolled lineage re-reads the corpus once per iteration — at
+    real scale persist each iteration's assignment (graph.py's
+    per-round persist/unpersist pattern); iteration count is fixed and
+    small, mirroring the reference-free training loop contract."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids = vec.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("c_id"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for it in range(KMEANS_ITERS):
+        ccos = cosine_similarity(F.col("v"), F.col("cv"))
+        wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+        assigned = (
+            vec.crossJoin(F.broadcast(centroids))
+            .withColumn("ccos", ccos)
+            .withColumn("crank", F.row_number().over(wassign))
+            .filter(F.col("crank") == 1)
+            .select("vec_id", "v", "c_id", "ccos")
+        )
+        if it < KMEANS_ITERS - 1:
+            flat = assigned.select("c_id", F.posexplode("v").alias("i", "x"))
+            dims = flat.groupBy("c_id", "i").agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cx")
+            )
+            centroids = (
+                dims.groupBy("c_id")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+                .select("c_id", F.transform("pairs", lambda p: p["cx"]).alias("cv"))
+            )
+    from gresearch_parquet_benchmarking_spark.operators.registry import davg
+
+    return (
+        assigned.groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(davg("ccos", scale=9), 6).alias("avg_cos"),
+            F.round(F.min("ccos"), 6).alias("min_cos"),
+        )
+        .select(
+            F.col("c_id").cast("int").alias("cluster"),
+            "n_members",
+            "avg_cos",
+            "min_cos",
+        )
+        .orderBy("cluster")
+    )

@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = [
     "ann_ivf_topk_nprobe2",
     "stream_stream_join",
     "stream_dedup_incremental",
+    "kmeans_train",
     # changed in round 4 (anomaly DECIMAL(38,0), histogram NULLS pin,
     # tracked persists, IVF nprobe refactor, sketch bounds oracle)
     "events_daily_anomaly",
@@ -47,11 +48,10 @@ MUST_BE_IN_WINDOW = [
     "dedup_exact_normalized",
     "dedup_minhash_signature",
     "dedup_simhash",
-    "sketch_kmv_distinct",
-    # sketch_hll/bloom/countmin were displaced by the five pipeline3
-    # queries + stream_dedup_incremental (never-checked beats
-    # stale-but-green; all three were driver-green in r2 and stay under
-    # the local gate)
+    # the sketches module was displaced by the five pipeline3 queries +
+    # stream_dedup_incremental + kmeans_train (never-checked beats
+    # stale-but-green; all four sketches were driver-green in r2 and
+    # stay under the local gate)
 ]
 
 
