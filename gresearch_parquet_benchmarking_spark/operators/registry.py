@@ -114,13 +114,14 @@ def _ensure_loaded() -> None:
     # window (exactly 50): pipeline3 (5 — brand-new this round, never
     # driver-checked) + pipeline2 (11 — incl. the two r3 queries no
     # driver round ever checked plus the r4 anomaly-DECIMAL / histogram
-    # NULLS edits) + similarity (9 — incl. never-checked ann_ivf_recall
-    # and new ann_ivf_topk_nprobe2 / kmeans_train) + events_stream (6 —
-    # incl. new stream_stream_join and stream_dedup_incremental) +
-    # advanced (13 — agg_approx_sketches gained a bounds oracle in r4)
-    # + dedup (6, driver signal stale since r1/r2). Displaced vs the
-    # pre-pipeline3 plan: the sketches module + pipeline's first 3 —
-    # all driver-green in r2. Everything after the window was
+    # NULLS edits) + similarity (10 — incl. never-checked
+    # ann_ivf_recall and new ann_ivf_topk_nprobe2 / kmeans_train /
+    # ann_lsh_recall) + events_stream (6 — incl. new stream_stream_join
+    # and stream_dedup_incremental) + advanced (13 —
+    # agg_approx_sketches gained a bounds oracle in r4) + dedup's first
+    # 5 (driver signal stale since r1/r2). Displaced vs the
+    # pre-pipeline3 plan: the sketches module, pipeline's first 3, and
+    # dedup_ngram_jaccard — all driver-green in r1/r2. Everything after the window was
     # driver-green in an earlier round and stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401

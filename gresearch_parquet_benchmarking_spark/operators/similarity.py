@@ -714,3 +714,53 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _lsh_recall_oracle() -> str:
+    """Recall@k of the LSH single-bucket probe against brute-force
+    ground truth — composed from both paths' registered oracle SQL
+    (same never-drifts contract as :func:`_recall_oracle`)."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import ORACLE_SQL
+
+    bf = ORACLE_SQL["ann_topk_bruteforce"]
+    lsh = ORACLE_SQL["ann_lsh_topk"]
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
+    ix AS (SELECT query_id, neighbor_id FROM ({lsh}) t)
+    SELECT b.query_id,
+           COUNT(*) AS n_true,
+           SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM bf b
+    LEFT JOIN ix i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@query("ann_lsh_recall", oracle=_lsh_recall_oracle)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the random-hyperplane LSH probe vs exact brute
+    force, per query — the quality table that tells an operator whether
+    8 planes / 1-bucket probing is enough for their corpus, exactly as
+    ann_ivf_recall does for the IVF knob. Same tiny
+    (query_id, neighbor_id) hit-join shape."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ix = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        bf.join(ix, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            hits.cast("long").alias("n_hits"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = [
     "stream_stream_join",
     "stream_dedup_incremental",
     "kmeans_train",
+    "ann_lsh_recall",
     # changed in round 4 (anomaly DECIMAL(38,0), histogram NULLS pin,
     # tracked persists, IVF nprobe refactor, sketch bounds oracle)
     "events_daily_anomaly",
@@ -42,7 +43,9 @@ MUST_BE_IN_WINDOW = [
     "ann_ivf_topk",
     "agg_approx_sketches",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard displaced by ann_lsh_recall: its r4 change was
+    # the shared _corpus split-estimation refactor, which five sibling
+    # dedup queries still exercise in-window; r2-green + local gate
     # stale driver signal (r1/r2)
     "dedup_exact",
     "dedup_exact_normalized",
