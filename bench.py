@@ -71,6 +71,7 @@ HEADLINE = [
     "stream_stream_join",
     "sequence_packing",
     "dedup_incremental",
+    "kmeans_train",
 ]
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
