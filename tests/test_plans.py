@@ -165,3 +165,42 @@ def test_zorder_single_range_shuffle_no_python(spark):
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+
+def test_sequence_packing_text_never_shuffled(spark):
+    """Tokenization must collapse to n_tok BEFORE the lang exchange —
+    shipping document text through a shuffle is the 100 TB killer."""
+    from gresearch_parquet_benchmarking_spark.operators import pipeline3
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(pipeline3.sequence_packing(spark, SF_SMOKE))
+    # explain("formatted") puts operator details in footer blocks
+    blocks = [b for b in plan.split("\n\n") if "Exchange" in b and "hashpartitioning(lang" in b]
+    assert blocks, plan
+    # the shuffled attributes are (doc_id, lang, n_tok) — never `text`
+    assert all("text#" not in b for b in blocks), blocks
+    assert "Python" not in plan
+
+
+def test_dedup_incremental_no_forced_broadcast(spark):
+    """The corpus fingerprint index carries no broadcast HINT (CLAUDE.md
+    rule 10): at sf it may broadcast by AQE size estimate, but the
+    LOGICAL plan must leave the choice to the optimizer so the same
+    code degrades to a shuffled join at 100 TB."""
+    from gresearch_parquet_benchmarking_spark.operators import pipeline3
+
+    df = pipeline3.dedup_incremental(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower(), logical
+
+
+def test_kmeans_iterations_broadcast_centroids_no_python(spark):
+    """Every Lloyd iteration broadcasts K centroids (never shuffles the
+    corpus against them) and stays JVM-side."""
+    from gresearch_parquet_benchmarking_spark.operators import similarity
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(similarity.kmeans_train(spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastExchange") >= similarity.KMEANS_ITERS
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
