@@ -66,12 +66,13 @@ def query(
 # import can perturb — decides which queries get hard driver signal.
 # Round-4 window rationale: see _ensure_loaded.
 _MODULE_ORDER = [
+    "operators.scale",
     "operators.pipeline3",
     "operators.pipeline2",
     "operators.similarity",
     "streaming.events_stream",
-    "operators.advanced",
     "operators.dedup",
+    "operators.advanced",
     "operators.sketches",
     "operators.pipeline",
     "operators.graph",
@@ -111,22 +112,26 @@ def _ensure_loaded() -> None:
     #
     # Registration ORDER is deliberate: the driver's correctness sweep
     # snapshots only the first 50 registrations per round. Round-4
-    # window (exactly 50): pipeline3 (5 — brand-new this round, never
-    # driver-checked) + pipeline2 (11 — incl. the two r3 queries no
-    # driver round ever checked plus the r4 anomaly-DECIMAL / histogram
-    # NULLS edits) + similarity (10 — incl. never-checked
-    # ann_ivf_recall and new ann_ivf_topk_nprobe2 / kmeans_train /
-    # ann_lsh_recall) + events_stream (6 — incl. new stream_stream_join
-    # and stream_dedup_incremental) + advanced (13 —
-    # agg_approx_sketches gained a bounds oracle in r4) + dedup's first
-    # 5 (driver signal stale since r1/r2). Displaced vs the
-    # pre-pipeline3 plan: the sketches module, pipeline's first 3, and
-    # dedup_ngram_jaccard — all driver-green in r1/r2. Everything after the window was
+    # window (exactly 50): scale (1 — brand-new) + pipeline3 (5 —
+    # brand-new this round, never driver-checked) + pipeline2 (11 —
+    # incl. the two r3 queries no driver round ever checked plus the r4
+    # anomaly-DECIMAL / histogram NULLS edits) + similarity (11 — incl.
+    # never-checked ann_ivf_recall and new ann_ivf_topk_nprobe2 /
+    # kmeans_train / ann_lsh_recall / dedup_semantic) + events_stream
+    # (6 — incl. new stream_stream_join and stream_dedup_incremental) +
+    # dedup (6 — driver signal stale since r1/r2, plus the r4 tracked-
+    # persist edit on dedup_minhash_lsh) + advanced's first 10 (incl.
+    # agg_approx_sketches, which gained a bounds oracle in r4).
+    # Displaced: advanced's last 3 (agg_regression,
+    # window_first_last_nth, scalar_null_funcs — all FRESH r3-green and
+    # unchanged in r4), the sketches module, and pipeline's first 3
+    # (driver-green in r1/r2). Everything after the window was
     # driver-green in an earlier round and stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,
+        scale,
         similarity,
     )
     from gresearch_parquet_benchmarking_spark.streaming import events_stream  # noqa: F401

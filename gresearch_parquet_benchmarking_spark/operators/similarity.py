@@ -764,3 +764,123 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: centroid-bucketed embedding pruning)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DEDUP_COS = NEARDUP_COS  # same near-dup bar as the LSH path
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM vecs
+    ),
+    centroid_dims AS (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM flat GROUP BY label, i
+    ),
+    centroids AS (
+        SELECT label AS c_label, list(cx ORDER BY i) AS cv
+        FROM centroid_dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, v, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY list_dot_product(v, cv) /
+                                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                                    DESC, c_label) AS crank
+        FROM vecs CROSS JOIN centroids
+    ),
+    bucketed AS (SELECT vec_id, v, c_label AS bucket FROM assigned WHERE crank = 1),
+    pairs AS (
+        SELECT a.vec_id AS kept, b.vec_id AS dropped, a.bucket,
+               {_SQL_COS} AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= {NEARDUP_COS}
+    ),
+    elected AS (
+        SELECT dropped, kept, CAST(bucket AS INT) AS bucket, ROUND(cos, 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY dropped ORDER BY kept) AS rn
+        FROM pairs
+    )
+    SELECT dropped, kept, bucket, cos FROM elected WHERE rn = 1
+    ORDER BY dropped
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: cluster the corpus embeddings
+    (exact per-label centroid means, as in IVF), then drop any vector
+    whose cosine to a lower-id vector in the SAME cluster is ≥
+    {SEMANTIC_DEDUP_COS}; the surviving lower-id vector is the group's
+    representative. Output = the prune list (dropped, kept,
+    bucket, cos) a curation pipeline would anti-join against the
+    corpus.
+
+    Scale shape (Abbas et al., SemDeDup): cluster count grows with the
+    corpus (k ≈ N / target_cluster_size), so the within-cluster
+    pairwise check stays bounded per cluster; centroids are a broadcast
+    table, assignment is map-side, and the pair join shuffles on the
+    constant-width cluster id only — the same no-all-pairs contract as
+    dedup_minhash_lsh, with semantic rather than lexical similarity."""
+    vec = _vectors(spark, sf_dir)
+
+    flat = vec.select("label", F.posexplode("v").alias("i", "x"))
+    centroid_dims = flat.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("cx")
+    )
+    centroids = (
+        centroid_dims.groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("c_label", F.transform("pairs", lambda p: p["cx"]).alias("cv"))
+    )
+
+    ccos = cosine_similarity(F.col("v"), F.col("cv"))
+    wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_label"))
+    bucketed = (
+        vec.crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wassign))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", F.col("c_label").alias("bucket"))
+    )
+
+    a = bucketed.select(
+        F.col("vec_id").alias("kept"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("dropped"),
+        F.col("v").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("kept") < F.col("dropped")),
+        )
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= SEMANTIC_DEDUP_COS)
+    )
+    welect = W.partitionBy("dropped").orderBy(F.asc("kept"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(welect))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dropped",
+            "kept",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round("cos", 6).alias("cos"),
+        )
+        .orderBy("dropped")
+    )

@@ -54,3 +54,18 @@ def test_ngram_jaccard_blocked(spark, n_planted):
     # blocking is on (lang, source): every planted pair shares its
     # original's block, so high-jaccard planted pairs are recoverable
     assert len(planted) >= 0.5 * n_planted
+
+
+def test_semantic_dedup_prune_contract(spark):
+    from gresearch_parquet_benchmarking_spark.operators import similarity
+
+    out = similarity.dedup_semantic(spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    # greedy-by-id election: the representative always has the lower id,
+    # each dropped vector appears exactly once, and every retained
+    # similarity clears the bar
+    assert (out.kept < out.dropped).all()
+    assert out.dropped.is_unique
+    assert (out.cos >= similarity.SEMANTIC_DEDUP_COS).all()
+    # pruning is strictly within a semantic cluster
+    assert out.bucket.nunique() > 1

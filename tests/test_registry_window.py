@@ -19,6 +19,9 @@ WINDOW = 50
 # the dedup/sketches modules whose driver signal has been stale since
 # r1/r2.
 MUST_BE_IN_WINDOW = [
+    # brand-new in round 4 (operators/scale.py, similarity.py)
+    "layout_bucketed_join",
+    "dedup_semantic",
     # brand-new in round 4 (operators/pipeline3.py)
     "sequence_packing",
     "dedup_incremental",
@@ -43,18 +46,17 @@ MUST_BE_IN_WINDOW = [
     "ann_ivf_topk",
     "agg_approx_sketches",
     "dedup_minhash_lsh",
-    # dedup_ngram_jaccard displaced by ann_lsh_recall: its r4 change was
-    # the shared _corpus split-estimation refactor, which five sibling
-    # dedup queries still exercise in-window; r2-green + local gate
-    # stale driver signal (r1/r2)
+    # stale driver signal (r1/r2) — whole dedup module now in-window
     "dedup_exact",
     "dedup_exact_normalized",
     "dedup_minhash_signature",
     "dedup_simhash",
-    # the sketches module was displaced by the five pipeline3 queries +
-    # stream_dedup_incremental + kmeans_train (never-checked beats
-    # stale-but-green; all four sketches were driver-green in r2 and
-    # stay under the local gate)
+    "dedup_ngram_jaccard",
+    # the sketches module and advanced's last 3 (agg_regression,
+    # window_first_last_nth, scalar_null_funcs — fresh r3-green,
+    # unchanged in r4) are displaced: never-checked beats
+    # stale-but-green, and fresh-green needs no repeat; all stay under
+    # the local gate
 ]
 
 
