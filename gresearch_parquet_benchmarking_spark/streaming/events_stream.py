@@ -64,27 +64,48 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
 
 
-def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
+def _run_to_table(
+    result: DataFrame, mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Drive the streaming query over all available input, return the
-    materialized result as a batch DataFrame."""
+    materialized result as a batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    duration of the run (the conf is captured at ``start()`` and
+    becomes the query's state-store partition count). Stateful
+    operators pay a fixed per-partition-per-batch cost — store open +
+    delta-file commit, ×4 stores per partition for a stream-stream
+    join — so the local harness sizes the join's state partitioning
+    down (measured 6.3 s → 2.5 s at sf0.1 with 32→8). On a cluster the
+    caller sizes it to state volume instead; streaming has no AQE to
+    do it adaptively."""
+    spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts: str | None = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        finished = q.awaitTermination(300)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {name} did not finish within 300s; "
-                "refusing to return a partially-populated memory table"
-            )
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(300)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name} did not finish within 300s; "
+                    "refusing to return a partially-populated memory table"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return result.sparkSession.table(name)
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 @query(
@@ -304,7 +325,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purch_ts_us",
         (F.col("purch_ts_us") - F.col("click_ts_us")).alias("lag_us"),
     )
-    out = _run_to_table(joined, "append")
+    # 4 state stores per partition for a stream-stream join — size the
+    # state partitioning for the harness (see _run_to_table docstring)
+    out = _run_to_table(joined, "append", state_partitions=8)
     return out.orderBy("click_id", "purch_id")
 
 
