@@ -21,15 +21,19 @@ engines and only compared/ranked raw, emitted rounded to 6 decimals
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from gresearch_parquet_benchmarking_spark.functions.vector import (
     cosine_similarity,
+    dot_product,
     l2_norm,
     to_double_array,
 )
-from gresearch_parquet_benchmarking_spark.operators.registry import query
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    query,
+    track_persist,
+)
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
 N_QUERIES = 10   # vec_id < 10 are the query vectors
@@ -184,6 +188,64 @@ def _ivf_sql(nprobe: int) -> str:
     """
 
 
+def _label_centroids(vec: DataFrame) -> DataFrame:
+    """Per-label centroids: posexplode → per (label, dim) exact decimal
+    mean (identical across engines) → array, as (c_label, cv) rows."""
+    flat = vec.select("label", F.posexplode("v").alias("i", "x"))
+    centroid_dims = flat.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("cx")
+    )
+    return (
+        centroid_dims.groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("c_label", F.transform("pairs", lambda p: p["cx"]).alias("cv"))
+    )
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Collapse the K-row centroid table into ONE row holding all
+    centroids sorted by label (``cents`` array<struct(c_label, cv,
+    cnorm)>, the L2 norm precomputed once per centroid). Cross-joining
+    the broadcast single row makes nearest-centroid assignment pure
+    map-side arithmetic — no window, no shuffle of the corpus. (A
+    window row_number over vec_id would shuffle 100 TB of vectors just
+    to rank K broadcast rows.)"""
+    with_norm = centroids.select(
+        "c_label", "cv", l2_norm(F.col("cv")).alias("cnorm")
+    )
+    return with_norm.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "cv", "cnorm"))).alias("cents")
+    )
+
+
+def _nearest_centroids(nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroids to row vector ``v`` (its norm
+    precomputed in column ``nv``) out of the broadcast ``cents`` array,
+    ranked by (cosine desc, label asc) — an in-row sort of K scored
+    structs, fully map-side. ``dot/(nv*cnorm)`` is the same IEEE
+    expression tree as cosine_similarity, so scores are bit-identical
+    to the oracle's — the norms are just not recomputed K (resp. 2×
+    per pair) times."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot_product(F.col("v"), c["cv"]) / (F.col("nv") * c["cnorm"])).alias(
+                "ccos"
+            ),
+            c["c_label"].alias("c_label"),
+        ),
+    )
+    ranked = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["ccos"] > b["ccos"], F.lit(-1))
+        .when(a["ccos"] < b["ccos"], F.lit(1))
+        .when(a["c_label"] < b["c_label"], F.lit(-1))
+        .when(a["c_label"] > b["c_label"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.slice(ranked, 1, nprobe)
+
+
 def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """IVF approximate nearest neighbor: centroids = exact per-label
     mean vectors (decimal-summed per dimension → identical across
@@ -191,35 +253,35 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     probe their ``nprobe`` nearest centroid buckets.
 
     At 100 TB: centroids are a broadcast table; bucket assignment is
-    map-side; the candidate join shuffles on the bucket id only, and
-    nprobe multiplies only the (tiny) probe side of the join — corpus
-    vectors are never replicated."""
+    map-side (_centroid_array — the corpus is never shuffled for it);
+    the candidate join shuffles on the bucket id only, and nprobe
+    multiplies only the (tiny) probe side of the join — corpus vectors
+    are never replicated."""
     vec = _vectors(spark, sf_dir)
 
-    # centroids: posexplode → per (label, dim) exact decimal mean → array
-    flat = vec.select("label", F.posexplode("v").alias("i", "x"))
-    centroid_dims = flat.groupBy("label", "i").agg(
-        (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("cx")
+    # the single-row centroid array appears in both the bucket and the
+    # probe subtree; the identical BroadcastExchange is computed once
+    # and reused (ReusedExchange — pinned in tests), so the corpus-wide
+    # centroid aggregate runs exactly once without a persist barrier
+    with_c = vec.crossJoin(
+        F.broadcast(_centroid_array(_label_centroids(vec)))
+    ).withColumn("nv", l2_norm(F.col("v")))
+    bucketed = with_c.select(
+        "vec_id",
+        "v",
+        "nv",
+        F.get(_nearest_centroids(1), 0)["c_label"].alias("bucket"),
     )
-    centroids = (
-        centroid_dims.groupBy(F.col("label").alias("c_label"))
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
-        .select("c_label", F.transform("pairs", lambda p: p["cx"]).alias("cv"))
+    queries = (
+        with_c.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("qn"),
+            F.explode(_nearest_centroids(nprobe)).alias("rc"),
+        )
+        .select("query_id", "qv", "qn", F.col("rc")["c_label"].alias("bucket"))
     )
-
-    ccos = cosine_similarity(F.col("v"), F.col("cv"))
-    wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_label"))
-    assigned = (
-        vec.crossJoin(F.broadcast(centroids))
-        .withColumn("ccos", ccos)
-        .withColumn("crank", F.row_number().over(wassign))
-    )
-    bucketed = assigned.filter(F.col("crank") == 1).select(
-        "vec_id", "v", F.col("c_label").alias("bucket")
-    )
-    queries = assigned.filter(
-        (F.col("crank") <= nprobe) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("c_label").alias("bucket"))
 
     cand = bucketed.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
         "bucket", "bucket_b"
@@ -233,7 +295,11 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("bucket_b").alias("bucket"),
-            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+            # dot/(qn*nv) == cosine_similarity bit-for-bit; the norms are
+            # just computed once per vector instead of once per pair
+            (dot_product(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv"))).alias(
+                "cos"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -835,32 +901,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh, with semantic rather than lexical similarity."""
     vec = _vectors(spark, sf_dir)
 
-    flat = vec.select("label", F.posexplode("v").alias("i", "x"))
-    centroid_dims = flat.groupBy("label", "i").agg(
-        (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("cx")
-    )
-    centroids = (
-        centroid_dims.groupBy(F.col("label").alias("c_label"))
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
-        .select("c_label", F.transform("pairs", lambda p: p["cx"]).alias("cv"))
-    )
-
-    ccos = cosine_similarity(F.col("v"), F.col("cv"))
-    wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_label"))
-    bucketed = (
-        vec.crossJoin(F.broadcast(centroids))
-        .withColumn("ccos", ccos)
-        .withColumn("crank", F.row_number().over(wassign))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "v", F.col("c_label").alias("bucket"))
+    # same map-side assignment as the IVF path: broadcast centroid
+    # array, in-row argmax — no corpus shuffle
+    with_c = vec.crossJoin(
+        F.broadcast(_centroid_array(_label_centroids(vec)))
+    ).withColumn("nv", l2_norm(F.col("v")))
+    # the bucket table feeds BOTH sides of the pair join — persist it
+    # (the 100 TB analog: materialize the cluster-assignment index once);
+    # norms ride along so each pair costs one dot fold, not three
+    bucketed = track_persist(
+        with_c.select(
+            "vec_id",
+            "v",
+            "nv",
+            F.get(_nearest_centroids(1), 0)["c_label"].alias("bucket"),
+        )
     )
 
     a = bucketed.select(
-        F.col("vec_id").alias("kept"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("kept"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        "bucket",
     )
     b = bucketed.select(
         F.col("vec_id").alias("dropped"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = (
@@ -869,7 +936,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("bucket_b"))
             & (F.col("kept") < F.col("dropped")),
         )
-        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        # dot/(na*nb) == cosine_similarity bit-for-bit (same IEEE tree)
+        .withColumn(
+            "cos", dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") >= SEMANTIC_DEDUP_COS)
     )
     welect = W.partitionBy("dropped").orderBy(F.asc("kept"))

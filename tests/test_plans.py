@@ -204,3 +204,25 @@ def test_kmeans_iterations_broadcast_centroids_no_python(spark):
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastExchange") >= similarity.KMEANS_ITERS
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """Nearest-centroid assignment must not shuffle the corpus: no
+    exchange hash-partitions on vec_id (the old window-ranking shape),
+    and the single-row centroid broadcast is built once and reused by
+    the probe side (ReusedExchange)."""
+    df = similarity.ann_ivf_topk(spark, SF_SMOKE)
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_semantic_dedup_assignment_is_map_side(spark):
+    """Same contract for dedup_semantic: cluster assignment is in-row
+    arithmetic against the broadcast centroid array; the only shuffles
+    are the pair join's bucket key and the final election window."""
+    df = similarity.dedup_semantic(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan, plan
