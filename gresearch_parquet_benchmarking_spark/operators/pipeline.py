@@ -33,7 +33,10 @@ from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
     sql_md5_hash64,
     tokens_col,
 )
-from gresearch_parquet_benchmarking_spark.functions.vector import cosine_similarity
+from gresearch_parquet_benchmarking_spark.functions.vector import (
+    cosine_similarity,
+    l2_norm,
+)
 from gresearch_parquet_benchmarking_spark.operators.dedup import _shingles, _SQL_SHINGLES
 from gresearch_parquet_benchmarking_spark.operators.registry import query, sql_davg
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
@@ -379,15 +382,25 @@ def kmeans_reassign_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster) migration matrix — the cluster-stability diagnostic a
     curation pipeline tracks between iterations. Centroids broadcast;
     one corpus scan; shuffle is the k×k matrix aggregation only."""
+    from gresearch_parquet_benchmarking_spark.operators.similarity import (
+        _centroid_array,
+        _nearest_centroids,
+    )
+
     vec = _vectors(spark, sf_dir)
-    centroids = _label_centroids(vec)
-    ccos = cosine_similarity(F.col("v"), F.col("cv"))
-    wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_label"))
-    assigned = (
-        vec.crossJoin(F.broadcast(centroids))
-        .withColumn("ccos", ccos)
-        .withColumn("crank", F.row_number().over(wassign))
-        .filter(F.col("crank") == 1)
+    # map-side assignment against the broadcast single-row centroid
+    # array (similarity._centroid_array rationale: never shuffle the
+    # corpus to rank K broadcast rows); dot/(nv*cnorm) is bit-identical
+    # to the inline cosine
+    with_c = vec.crossJoin(
+        F.broadcast(_centroid_array(_label_centroids(vec)))
+    ).withColumn("nv", l2_norm(F.col("v")))
+    best = F.get(_nearest_centroids(1), 0)
+    assigned = with_c.select(
+        "vec_id",
+        "label",
+        best["c_label"].alias("c_label"),
+        best["ccos"].alias("ccos"),
     )
     return (
         assigned.groupBy(

@@ -741,14 +741,19 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = None
     for it in range(KMEANS_ITERS):
-        ccos = cosine_similarity(F.col("v"), F.col("cv"))
-        wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-        assigned = (
-            vec.crossJoin(F.broadcast(centroids))
-            .withColumn("ccos", ccos)
-            .withColumn("crank", F.row_number().over(wassign))
-            .filter(F.col("crank") == 1)
-            .select("vec_id", "v", "c_id", "ccos")
+        # map-side E-step: broadcast single-row centroid array, in-row
+        # argmax (_centroid_array rationale) — no corpus shuffle per
+        # Lloyd iteration
+        cn = centroids.select(F.col("c_id").alias("c_label"), "cv")
+        with_c = vec.crossJoin(
+            F.broadcast(_centroid_array(cn))
+        ).withColumn("nv", l2_norm(F.col("v")))
+        best = F.get(_nearest_centroids(1), 0)
+        assigned = with_c.select(
+            "vec_id",
+            "v",
+            best["c_label"].alias("c_id"),
+            best["ccos"].alias("ccos"),
         )
         if it < KMEANS_ITERS - 1:
             flat = assigned.select("c_id", F.posexplode("v").alias("i", "x"))
