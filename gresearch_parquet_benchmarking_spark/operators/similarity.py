@@ -105,16 +105,24 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for each of the 10 query vectors. The query
     set is broadcast; the corpus is scanned once."""
-    vec = _vectors(spark, sf_dir)
+    # norms computed once per vector and carried into the pair scorer:
+    # dot/(qn*n2) is the same IEEE tree as the inline cosine (bit-
+    # identical), but each of the |corpus| x |queries| pairs costs one
+    # dot fold instead of three
+    vec = _vectors(spark, sf_dir).withColumn("n2", l2_norm(F.col("v")))
     queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
     )
     scored = (
         vec.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+            (dot_product(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n2"))).alias(
+                "cos"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -436,13 +444,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the bucket id. Complements ann_ivf_topk (IVF needs a
     centroid pass; LSH is data-independent)."""
     vec = _vectors(spark, sf_dir)
-    bucketed = vec.select("vec_id", "v", _lsh_bucket_col().alias("bucket"))
+    bucketed = vec.select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("n2"), _lsh_bucket_col().alias("bucket")
+    )
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+        "bucket",
     )
     cand = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"),
+        F.col("n2").alias("cn2"), F.col("bucket").alias("bucket_b"),
     )
     scored = cand.join(
         F.broadcast(queries),
@@ -451,7 +464,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "bucket",
-        cosine_similarity(F.col("qv"), F.col("nv")).alias("cos"),
+        # dot/(qn*cn2) == inline cosine bit-for-bit; norms not recomputed per pair
+        (dot_product(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))).alias(
+            "cos"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -490,15 +506,19 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-width bucket id and bucket sizes concentrate around
     corpus/256, so no unbounded per-block cross product exists."""
     vec = _vectors(spark, sf_dir)
-    bucketed = vec.select("vec_id", "v", _lsh_bucket_col().alias("bucket"))
+    bucketed = vec.select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("n2"), _lsh_bucket_col().alias("bucket")
+    )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na"), "bucket",
     )
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("n2").alias("nb"), F.col("bucket").alias("bucket_b"),
     )
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    # dot/(na*nb) == inline cosine bit-for-bit; norms computed once per vector
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cos_raw", cos)
