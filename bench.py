@@ -72,6 +72,8 @@ HEADLINE = [
     "sequence_packing",
     "dedup_incremental",
     "kmeans_train",
+    "dedup_semantic",
+    "layout_bucketed_join",
 ]
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
