@@ -268,9 +268,9 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     vec = _vectors(spark, sf_dir)
 
     # the single-row centroid array appears in both the bucket and the
-    # probe subtree; the identical BroadcastExchange is computed once
-    # and reused (ReusedExchange — pinned in tests), so the corpus-wide
-    # centroid aggregate runs exactly once without a persist barrier
+    # probe subtree; the identical BroadcastExchange is deduplicated by
+    # exchange reuse, so the corpus-wide centroid aggregate runs once
+    # without a persist barrier
     with_c = vec.crossJoin(
         F.broadcast(_centroid_array(_label_centroids(vec)))
     ).withColumn("nv", l2_norm(F.col("v")))

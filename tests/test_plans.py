@@ -208,14 +208,15 @@ def test_kmeans_iterations_broadcast_centroids_no_python(spark):
 
 def test_ivf_assignment_is_map_side(spark):
     """Nearest-centroid assignment must not shuffle the corpus: no
-    exchange hash-partitions on vec_id (the old window-ranking shape),
-    and the single-row centroid broadcast is built once and reused by
-    the probe side (ReusedExchange)."""
+    exchange hash-partitions on vec_id (the old window-ranking shape);
+    the centroid array arrives as a broadcast single-row nested-loop
+    join. (Whether AQE additionally surfaces the shared broadcast as a
+    ReusedExchange varies with session history — not pinned.)"""
     df = similarity.ann_ivf_topk(spark, SF_SMOKE)
     df.collect()  # finalize AQE
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(vec_id" not in plan, plan
-    assert "ReusedExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
 
 
 def test_semantic_dedup_assignment_is_map_side(spark):
