@@ -118,13 +118,14 @@ def _ensure_loaded() -> None:
     # anomaly-DECIMAL / histogram NULLS edits) + similarity (11 — incl.
     # never-checked ann_ivf_recall and new ann_ivf_topk_nprobe2 /
     # kmeans_train / ann_lsh_recall / dedup_semantic) + events_stream
-    # (6 — incl. new stream_stream_join and stream_dedup_incremental) +
-    # dedup (6 — driver signal stale since r1/r2, plus the r4 tracked-
-    # persist edit on dedup_minhash_lsh) + advanced's first 10 (incl.
-    # agg_approx_sketches, which gained a bounds oracle in r4).
-    # Displaced: advanced's last 3 (agg_regression,
-    # window_first_last_nth, scalar_null_funcs — all FRESH r3-green and
-    # unchanged in r4), the sketches module, and pipeline's first 3
+    # (7 — incl. new stream_stream_join, stream_dedup_incremental and
+    # stream_centroid_assign) + dedup (6 — driver signal stale since
+    # r1/r2, plus the r4 tracked-persist edit on dedup_minhash_lsh) +
+    # advanced's first 9 (incl. agg_approx_sketches, which gained a
+    # bounds oracle in r4). Displaced: advanced's last 4
+    # (sample_hash_based, agg_regression, window_first_last_nth,
+    # scalar_null_funcs — all FRESH r3-green and unchanged in r4), the
+    # sketches module, and pipeline's first 3
     # (driver-green in r1/r2). Everything after the window was
     # driver-green in an earlier round and stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).

@@ -433,3 +433,103 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(agg, "complete")
     return out.orderBy("source")
+
+
+# --- streaming over the embeddings table -----------------------------------
+
+def _read_embedding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = os.path.realpath(table_path(sf_dir, "embeddings"))
+    cache_key = f"emb::{key}"
+    if cache_key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[cache_key] = spark.read.parquet(
+            table_path(sf_dir, "embeddings")
+        ).schema
+    return (
+        spark.readStream.schema(_SCHEMA_CACHE[cache_key])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "stream_centroid_assign",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM vecs
+    ),
+    centroid_dims AS (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM flat GROUP BY label, i
+    ),
+    centroids AS (
+        SELECT label AS c_label, list(cx ORDER BY i) AS cv
+        FROM centroid_dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id,
+               list_dot_product(v, cv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos,
+               c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY list_dot_product(v, cv) /
+                                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+                                    DESC, c_label) AS crank
+        FROM vecs CROSS JOIN centroids
+    )
+    SELECT CAST(c_label AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(ccos, 6) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_cos
+    FROM assigned WHERE crank = 1
+    GROUP BY c_label
+    ORDER BY bucket
+    """,
+)
+def stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online cluster assignment: a stream of embedding vectors is
+    assigned to its nearest STATIC centroid (centroids trained offline
+    from the batch table — the serve-time half of the IVF/k-means
+    pipeline) and per-cluster arrival counts/quality aggregate in
+    complete mode.
+
+    Shape: the centroid array is a broadcast single static row
+    (stream-static nested-loop join of 1 row), assignment is the same
+    in-row argmax as similarity._nearest_centroids — fully map-side
+    inside the micro-batch, with only the K-group count aggregate as
+    streaming state. At 100 TB/day the same query runs against a Kafka
+    source unchanged; the centroid row refreshes with each retrain."""
+    from gresearch_parquet_benchmarking_spark.functions.vector import l2_norm
+    from gresearch_parquet_benchmarking_spark.operators.similarity import (
+        _centroid_array,
+        _label_centroids,
+        _nearest_centroids,
+        _vectors,
+    )
+
+    cents = _centroid_array(_label_centroids(_vectors(spark, sf_dir)))
+    stream = _read_embedding_stream(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    best = F.get(_nearest_centroids(1), 0)
+    assigned = (
+        stream.crossJoin(F.broadcast(cents))
+        .withColumn("nv", l2_norm(F.col("v")))
+        .select(
+            best["c_label"].cast("int").alias("bucket"),
+            best["ccos"].alias("ccos"),
+        )
+    )
+    agg = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round("ccos", 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cos"),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.orderBy("bucket")

@@ -36,6 +36,7 @@ MUST_BE_IN_WINDOW = [
     "ann_ivf_topk_nprobe2",
     "stream_stream_join",
     "stream_dedup_incremental",
+    "stream_centroid_assign",
     "kmeans_train",
     "ann_lsh_recall",
     # changed in round 4 (anomaly DECIMAL(38,0), histogram NULLS pin,
@@ -52,9 +53,9 @@ MUST_BE_IN_WINDOW = [
     "dedup_minhash_signature",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    # the sketches module and advanced's last 3 (agg_regression,
-    # window_first_last_nth, scalar_null_funcs — fresh r3-green,
-    # unchanged in r4) are displaced: never-checked beats
+    # the sketches module and advanced's last 4 (sample_hash_based,
+    # agg_regression, window_first_last_nth, scalar_null_funcs — fresh
+    # r3-green, unchanged in r4) are displaced: never-checked beats
     # stale-but-green, and fresh-green needs no repeat; all stay under
     # the local gate
 ]
