@@ -1,0 +1,213 @@
+"""Event-analytics operators: funnel conversion, cohort retention,
+sliding-window active users.
+
+The classic product-analytics trio every event warehouse runs
+(SURVEY.md §2.9 extension surface — the reference has no event model at
+all). All three are one-or-two-shuffle shapes over the events table:
+
+* funnel — the ordered view→click→purchase progression per user is
+  three chained conditional MINs over the SAME user partition (one
+  exchange, window reuse), then a single global rollup row. At 100 TB
+  the shuffle key is user_id and the state per user is three BIGINTs.
+* cohort retention — two aggregates (first-seen day, distinct active
+  days) joined on user_id, then a (cohort, offset) count-distinct.
+  Every shuffle key is constant-width; nothing quadratic.
+* sliding windows — Spark's native F.window(slide) assigns each event
+  to window_size/slide windows map-side (here 2), so the only shuffle
+  is the per-window aggregate — the batch twin of the streaming
+  operator family in streaming/events_stream.py.
+
+Timestamps follow CLAUDE.md rule 4: events load through
+sources/events.py (schema-adaptive ts contract) and all day/window
+arithmetic is integer (epoch-µs div), never double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators.registry import query
+from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+US_PER_DAY = 86_400_000_000
+RETENTION_MAX_OFFSET = 7
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS v
+        FROM e
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= v THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS c
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= c THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS p
+        FROM w2
+    ),
+    u AS (
+        SELECT user_id, MAX(v) AS v, MAX(c) AS c, MAX(p) AS p
+        FROM w3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(v) AS n_view,
+           COUNT(c) AS n_click_after_view,
+           COUNT(p) AS n_purchase_after_click,
+           ROUND(COUNT(c) * 1.0 / COUNT(v), 6) AS view_to_click,
+           ROUND(COUNT(p) * 1.0 / COUNT(c), 6) AS click_to_purchase
+    FROM u
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view, first click AT-OR-AFTER that view,
+    first purchase at-or-after that click, per user; one global
+    conversion row. The three conditional MINs share one user_id
+    window partitioning (single exchange); conversion rates are double
+    divisions of exact integer counts (deterministic)."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    w = W.partitionBy("user_id")
+    stepped = (
+        ev.withColumn(
+            "v",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts_us") >= F.col("v")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") >= F.col("c")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    users = stepped.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    n = F.count(F.lit(1))
+    nv, nc, np_ = F.count("v"), F.count("c"), F.count("p")
+    return users.agg(
+        n.alias("n_users"),
+        nv.alias("n_view"),
+        nc.alias("n_click_after_view"),
+        np_.alias("n_purchase_after_click"),
+        F.round(nc.cast("double") / nv, 6).alias("view_to_click"),
+        F.round(np_.cast("double") / nc, 6).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, day FROM e),
+    joined AS (
+        SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, a.user_id
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        WHERE a.day - c.cohort_day <= {RETENTION_MAX_OFFSET}
+    ),
+    grid AS (
+        SELECT cohort_day, day_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM joined GROUP BY cohort_day, day_offset
+    )
+    SELECT cohort_day, day_offset, n_users,
+           ROUND(n_users * 1.0 /
+                 MAX(CASE WHEN day_offset = 0 THEN n_users END)
+                     OVER (PARTITION BY cohort_day), 6) AS retention
+    FROM grid
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention grid: users grouped by first-seen day,
+    distinct-user counts at day offsets 0..{RETENTION_MAX_OFFSET},
+    rates relative to the cohort's own day-0 size (every user is active
+    on their cohort day, so the denominator always exists). Day ids are
+    integer epoch-days (µs div) — no date objects cross the oracle
+    boundary (CLAUDE.md rule 2)."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {US_PER_DAY}").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = e.distinct()
+    joined = (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+    )
+    grid = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    wc = W.partitionBy("cohort_day")
+    day0 = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(wc)
+    return (
+        grid.withColumn(
+            "retention", F.round(F.col("n_users").cast("double") / day0, 6)
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "events_sliding_active_users",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, date_trunc('hour', ts) AS h FROM events
+    ),
+    x AS (
+        SELECT user_id, ts, h - k * INTERVAL 1 HOUR AS ws
+        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT epoch_us(ws) AS window_start_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM x
+    GROUP BY ws
+    ORDER BY window_start_us
+    """,
+)
+def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window activity: distinct users and event volume per
+    2-hour window sliding every hour — the batch twin of a streaming
+    sliding aggregate. Spark's F.window assigns each event to its 2
+    overlapping windows map-side; the oracle replicates the assignment
+    with an explicit 2-element unnest (hour-aligned windows, same
+    epoch alignment as Spark's)."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts_ts")
+    return (
+        ev.groupBy(F.window("ts_ts", "2 hours", "1 hour").alias("win"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "n_users",
+            "n_events",
+        )
+        .orderBy("window_start_us")
+    )

@@ -73,6 +73,7 @@ _MODULE_ORDER = [
     "streaming.events_stream",
     "operators.dedup",
     "operators.advanced",
+    "operators.analytics",
     "operators.sketches",
     "operators.pipeline",
     "operators.graph",
@@ -128,7 +129,11 @@ def _ensure_loaded() -> None:
     # sketches module, and pipeline's first 3
     # (driver-green in r1/r2). Everything after the window was
     # driver-green in an earlier round and stays pinned by the local
-    # full-registry gate (scripts_dev/check_queries.py).
+    # full-registry gate (scripts_dev/check_queries.py) — EXCEPT
+    # operators.analytics (funnel / cohort retention / sliding
+    # windows), added after this round's window was already at
+    # capacity: local-gate green now, and the r5 rotation must put the
+    # analytics module at the head of _MODULE_ORDER.
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,
@@ -138,6 +143,7 @@ def _ensure_loaded() -> None:
     from gresearch_parquet_benchmarking_spark.streaming import events_stream  # noqa: F401
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         advanced,
+        analytics,
         dedup,
         sketches,
         pipeline,
