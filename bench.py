@@ -74,6 +74,7 @@ HEADLINE = [
     "kmeans_train",
     "dedup_semantic",
     "layout_bucketed_join",
+    "event_funnel_conversion",
 ]
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
