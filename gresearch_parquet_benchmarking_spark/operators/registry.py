@@ -131,9 +131,11 @@ def _ensure_loaded() -> None:
     # driver-green in an earlier round and stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py) — EXCEPT
     # operators.analytics (funnel / cohort retention / sliding
-    # windows), added after this round's window was already at
-    # capacity: local-gate green now, and the r5 rotation must put the
-    # analytics module at the head of _MODULE_ORDER.
+    # windows) and sketches.sketch_hll_rolling_users, added after this
+    # round's window was already at capacity: local-gate green now, and
+    # the r5 rotation must put the analytics module (and the sketches
+    # module for the new rolling-HLL query) at the head of
+    # _MODULE_ORDER.
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,

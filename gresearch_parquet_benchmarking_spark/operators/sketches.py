@@ -470,3 +470,128 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(e, "p_brand").select(
         "p_brand", "est_freq", "exact_freq"
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability: rolling-window distinct from per-day registers
+# ---------------------------------------------------------------------------
+
+ROLL_DAYS = 3
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "sketch_hll_rolling_users",
+    oracle=f"""
+    WITH e AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS day,
+               {_sql_h60('user_id')} AS h,
+               user_id
+        FROM events
+    ),
+    day_regs AS (
+        SELECT day, h % {HLL_M} AS reg,
+               MAX(CASE WHEN h >> 6 = 0 THEN {HLL_RHO_MAX}
+                   ELSE {HLL_RHO_MAX} - LENGTH(bin(h >> 6)) END) AS rho
+        FROM e GROUP BY day, reg
+    ),
+    bounds AS (SELECT MAX(day) AS max_day FROM e),
+    merged AS (
+        SELECT d.day + k.k AS day, d.reg, MAX(d.rho) AS rho
+        FROM day_regs d
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+        CROSS JOIN bounds b
+        WHERE d.day + k.k <= b.max_day
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT day, COUNT(*)::BIGINT AS m_used,
+               SUM(1::BIGINT << ({HLL_RHO_MAX} - rho))::BIGINT AS s_present
+        FROM merged GROUP BY day
+    ),
+    exact_w AS (
+        SELECT a.day + k.k AS day, a.user_id
+        FROM (SELECT DISTINCT day, user_id FROM e) a
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+        CROSS JOIN bounds b
+        WHERE a.day + k.k <= b.max_day
+    ),
+    x AS (SELECT day, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+          FROM exact_w GROUP BY day)
+    SELECT g.day, m_used,
+           s_present + ({HLL_M} - m_used) * {HLL_POW_SCALE} AS s_scaled,
+           ROUND({HLL_EST_NUM!r}
+                 / CAST(s_present + ({HLL_M} - m_used) * {HLL_POW_SCALE} AS DOUBLE),
+                 4) AS est_distinct,
+           exact_distinct
+    FROM g JOIN x USING (day)
+    ORDER BY day
+    """,
+)
+def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_DAYS}-day distinct users from MERGED per-day HLL
+    registers — the mergeability demo that justifies sketches at
+    100 TB: the per-day register table (≤ m={HLL_M} rows per day) is
+    the only input to every window; raw events are scanned ONCE to
+    build it, and any window [d−2, d] is a register-wise MAX over 3×m
+    tiny rows. The exact twin must rescan 3 days of raw (day, user)
+    pairs per window — the cost the sketch amortizes away. Day ids are
+    integer epoch-days; windows are clipped to days ≤ max(day) so every
+    emitted window has full data on its right edge.
+
+    Scale shape: register extraction map-side (shuffle key (day, reg),
+    ≤ m rows/day survive the partial MAX); the rolling merge explodes
+    the register table (not the events) 3×; everything downstream is
+    O(days × m)."""
+    from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+    e = load_events(spark, sf_dir).select(
+        F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        _h60(F.col("user_id")).alias("h"),
+        "user_id",
+    )
+    rho = F.when(F.shiftright("h", 6) == 0, HLL_RHO_MAX).otherwise(
+        HLL_RHO_MAX - F.length(F.bin(F.shiftright("h", 6)))
+    )
+    day_regs = (
+        e.select("day", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    bounds = e.agg(F.max("day").alias("max_day"))
+    offsets = F.explode(F.array(*[F.lit(k) for k in range(ROLL_DAYS)])).alias("k")
+    merged = (
+        day_regs.crossJoin(F.broadcast(bounds))
+        .select("day", "reg", "rho", "max_day", offsets)
+        .withColumn("wday", F.col("day") + F.col("k"))
+        .filter(F.col("wday") <= F.col("max_day"))
+        .groupBy(F.col("wday").alias("day"), "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    g = merged.groupBy("day").agg(
+        F.count("*").cast("long").alias("m_used"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - rho)")).cast("long").alias("s_present"),
+    )
+    exact_w = (
+        e.select("day", "user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("day", "user_id", "max_day", offsets)
+        .withColumn("wday", F.col("day") + F.col("k"))
+        .filter(F.col("wday") <= F.col("max_day"))
+    )
+    x = exact_w.groupBy(F.col("wday").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    out = g.withColumn(
+        "s_scaled",
+        F.col("s_present") + (HLL_M - F.col("m_used")) * F.lit(HLL_POW_SCALE),
+    ).withColumn(
+        "est_distinct",
+        F.round(F.lit(HLL_EST_NUM) / F.col("s_scaled").cast("double"), 4),
+    )
+    return (
+        out.join(x, "day")
+        .select("day", "m_used", "s_scaled", "est_distinct", "exact_distinct")
+        .orderBy("day")
+    )

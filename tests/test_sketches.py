@@ -73,3 +73,41 @@ def test_countmin_one_sided_and_tight(spark):
     # 25 keys in 3×256 cells: expected collision mass is tiny
     total = sum(r["exact_freq"] for r in rows)
     assert overshoot <= 0.2 * total
+
+
+def test_rolling_hll_merge_equals_direct_window_sketch(spark):
+    """Mergeability invariant: register-wise MAX of per-day registers
+    over [d-2, d] must equal registers computed directly over the
+    window's raw rows — so the estimate from merged sketches is THE
+    sketch estimate, not an approximation of one."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_SMOKE
+    from gresearch_parquet_benchmarking_spark.operators import sketches as sk
+    from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+    e = load_events(spark, SF_SMOKE).select(
+        F.expr(f"ts_us div {sk._US_PER_DAY}").alias("day"),
+        sk._h60(F.col("user_id")).alias("h"),
+    )
+    max_day = e.agg(F.max("day")).collect()[0][0]
+    target = max_day  # the last full window
+    rho = F.when(F.shiftright("h", 6) == 0, sk.HLL_RHO_MAX).otherwise(
+        sk.HLL_RHO_MAX - F.length(F.bin(F.shiftright("h", 6)))
+    )
+    direct = (
+        e.filter((F.col("day") >= target - sk.ROLL_DAYS + 1) & (F.col("day") <= target))
+        .select((F.col("h") % sk.HLL_M).alias("reg"), rho.alias("rho"))
+        .groupBy("reg").agg(F.max("rho").alias("rho"))
+    )
+    merged_row = (
+        sk.sketch_hll_rolling_users(spark, SF_SMOKE)
+        .filter(F.col("day") == target)
+        .collect()[0]
+    )
+    s_direct = direct.agg(
+        F.sum(F.expr(f"shiftleft(1L, {sk.HLL_RHO_MAX} - rho)")).cast("long")
+    ).collect()[0][0]
+    m_used = direct.count()
+    assert merged_row.m_used == m_used
+    assert merged_row.s_scaled == s_direct + (sk.HLL_M - m_used) * sk.HLL_POW_SCALE
