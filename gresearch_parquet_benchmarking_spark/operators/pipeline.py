@@ -466,3 +466,75 @@ def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "dedup_chunk_boilerplate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               UNNEST(range(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT))) AS i,
+               toks
+        FROM t
+    ),
+    h AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[i * {CHUNK_TOKENS} + 1 :
+                        LEAST((i + 1) * {CHUNK_TOKENS}, LEN(toks))], ' ')) AS chunk_md5,
+               CAST(LEN(toks[i * {CHUNK_TOKENS} + 1 :
+                             LEAST((i + 1) * {CHUNK_TOKENS}, LEN(toks))]) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM c
+    )
+    SELECT chunk_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MAX(n_chunk_tokens) AS n_chunk_tokens
+    FROM h
+    GROUP BY chunk_md5
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_md5
+    """,
+)
+def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (chunk) dedup — the boilerplate detector every
+    web-scale curation pipeline runs (headers, license blocks, nav
+    text repeat across documents even when whole-document dedup finds
+    nothing). Reuses text_chunk_tokens' fixed-{CHUNK_TOKENS}-token
+    chunking; a chunk digest appearing in ≥2 distinct documents is
+    boilerplate, reported with its document reach and occurrence
+    count. Chunk text never crosses the wire — the shuffle key is the
+    constant-width md5, the same 100 TB contract as dedup_exact."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(CHUNK_TOKENS))).cast("int")
+    rows = doc.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n > 0, F.sequence(F.lit(0), n_chunks - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        toks.alias("toks"),
+    )
+    c = F.slice(F.col("toks"), F.col("i") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+    hashed = rows.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", c)).alias("chunk_md5"),
+        F.size(c).cast("long").alias("n_chunk_tokens"),
+    )
+    return (
+        hashed.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_md5")
+    )

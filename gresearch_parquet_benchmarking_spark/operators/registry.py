@@ -130,12 +130,12 @@ def _ensure_loaded() -> None:
     # (driver-green in r1/r2). Everything after the window was
     # driver-green in an earlier round and stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py) — EXCEPT
-    # operators.analytics (funnel / cohort retention / sliding
-    # windows) and sketches.sketch_hll_rolling_users, added after this
-    # round's window was already at capacity: local-gate green now, and
-    # the r5 rotation must put the analytics module (and the sketches
-    # module for the new rolling-HLL query) at the head of
-    # _MODULE_ORDER.
+    # the late-r4 additions — operators.analytics (funnel / cohort
+    # retention / sliding windows), sketches.sketch_hll_rolling_users,
+    # and pipeline.dedup_chunk_boilerplate — added after this round's
+    # window was already at capacity: local-gate green now, and the r5
+    # rotation must put the analytics, sketches, and pipeline modules
+    # at the head of _MODULE_ORDER so they get driver signal.
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,

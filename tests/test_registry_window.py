@@ -53,7 +53,10 @@ MUST_BE_IN_WINDOW = [
     "dedup_minhash_signature",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    # the sketches module and advanced's last 4 (sample_hash_based,
+    # late-r4 additions (analytics module, sketch_hll_rolling_users,
+    # dedup_chunk_boilerplate) sit after the window by design — r5
+    # rotation puts them first. The sketches module and advanced's
+    # last 4 (sample_hash_based,
     # agg_regression, window_first_last_nth, scalar_null_funcs — fresh
     # r3-green, unchanged in r4) are displaced: never-checked beats
     # stale-but-green, and fresh-green needs no repeat; all stay under
