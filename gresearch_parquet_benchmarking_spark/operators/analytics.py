@@ -211,3 +211,107 @@ def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us")
     )
+
+
+US_PER_HOUR = 3_600_000_000
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # mirror report.SESSION_GAP_NS // 1000
+
+
+@query(
+    "interval_overlap_users",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                    OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               MIN(ts_us) AS s, MAX(ts_us) AS e
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlaps
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id, b.user_id
+    ORDER BY user_a, user_b
+    """,
+)
+def interval_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: pairs of users with concurrently-active
+    sessions, counted per pair — the co-activity graph a fraud/abuse
+    pipeline builds. Spark has no native interval join, and the naive
+    formulation is an all-pairs product; the scale pattern is BINNING:
+    each session explodes into its hour bins, candidates meet only
+    inside a bin (equi-join on the bin id), the exact overlap predicate
+    runs on candidates, and a distinct collapses pairs that share
+    several bins. The DuckDB twin is the direct inequality join (fine
+    at oracle scale; IEJoin territory) — binning must not change the
+    answer: any overlapping pair shares the bin of max(a.start,
+    b.start), so candidate generation is lossless."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = (
+        marked.withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+    )
+    binned = sessions.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {US_PER_HOUR}"), F.expr(f"e div {US_PER_HOUR}")
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"), "bin",
+    )
+    b = binned.select(
+        F.col("user_id").alias("user_b"), F.col("session_id").alias("sid_b"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"), F.col("bin").alias("bin_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("bin") == F.col("bin_b"))
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea")),
+        )
+        .select("user_a", "user_b", "sid_a", "sid_b")
+        .distinct()  # a pair overlapping across k shared bins counts once
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    )

@@ -131,7 +131,8 @@ def _ensure_loaded() -> None:
     # driver-green in an earlier round and stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py) — EXCEPT
     # the late-r4 additions — operators.analytics (funnel / cohort
-    # retention / sliding windows), sketches.sketch_hll_rolling_users,
+    # retention / sliding windows / interval-overlap join),
+    # sketches.sketch_hll_rolling_users,
     # and pipeline.dedup_chunk_boilerplate — added after this round's
     # window was already at capacity: local-gate green now, and the r5
     # rotation must put the analytics, sketches, and pipeline modules
