@@ -63,8 +63,8 @@ RETENTION_MAX_OFFSET = 7
            COUNT(v) AS n_view,
            COUNT(c) AS n_click_after_view,
            COUNT(p) AS n_purchase_after_click,
-           ROUND(COUNT(c) * 1.0 / COUNT(v), 6) AS view_to_click,
-           ROUND(COUNT(p) * 1.0 / COUNT(c), 6) AS click_to_purchase
+           ROUND(COUNT(c) * 1.0 / NULLIF(COUNT(v), 0), 6) AS view_to_click,
+           ROUND(COUNT(p) * 1.0 / NULLIF(COUNT(c), 0), 6) AS click_to_purchase
     FROM u
     """,
 )
@@ -106,13 +106,18 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     nv, nc, np_ = F.count("v"), F.count("c"), F.count("p")
+    # Zero guards: a corpus with no view (or no click) events must yield
+    # NULL rates on both engines, not an ANSI DIVIDE_BY_ZERO crash
+    # (oracle twin: NULLIF(COUNT(v), 0)).
+    v2c = F.when(nv > 0, F.round(nc.cast("double") / nv, 6))
+    c2p = F.when(nc > 0, F.round(np_.cast("double") / nc, 6))
     return users.agg(
         n.alias("n_users"),
         nv.alias("n_view"),
         nc.alias("n_click_after_view"),
         np_.alias("n_purchase_after_click"),
-        F.round(nc.cast("double") / nv, 6).alias("view_to_click"),
-        F.round(np_.cast("double") / nc, 6).alias("click_to_purchase"),
+        v2c.alias("view_to_click"),
+        c2p.alias("click_to_purchase"),
     )
 
 
@@ -225,7 +230,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # mirror report.SESSION_GAP_NS // 1000
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
                     OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     numbered AS (
         SELECT user_id, ts_us,

@@ -243,9 +243,18 @@ def _nearest_centroids(nprobe: int) -> Column:
             c["c_label"].alias("c_label"),
         ),
     )
+    # NaN ranks FIRST (as the largest cosine): a zero-norm vector or
+    # centroid yields NaN, for which both > and < are false — without
+    # the explicit isnan branches the comparator would fall through to
+    # the label tiebreak while the DuckDB oracle's ROW_NUMBER ... DESC
+    # (and Spark's own window sort, NaN > any double) sort NaN first,
+    # silently assigning a different bucket. NaN-vs-NaN falls through
+    # to the label tiebreak, matching both engines' stable tie order.
     ranked = F.array_sort(
         scored,
-        lambda a, b: F.when(a["ccos"] > b["ccos"], F.lit(-1))
+        lambda a, b: F.when(F.isnan(a["ccos"]) & ~F.isnan(b["ccos"]), F.lit(-1))
+        .when(F.isnan(b["ccos"]) & ~F.isnan(a["ccos"]), F.lit(1))
+        .when(a["ccos"] > b["ccos"], F.lit(-1))
         .when(a["ccos"] < b["ccos"], F.lit(1))
         .when(a["c_label"] < b["c_label"], F.lit(-1))
         .when(a["c_label"] > b["c_label"], F.lit(1))
