@@ -8,13 +8,14 @@ cleaning/dedup (operators/pipeline.py, pipeline2.py, dedup.py) and
 before the data loader.
 
 Design for 100 TB:
-* sequence_packing is a per-partition prefix sum (one shuffle on the
-  partition key, then a sorted within-partition scan). At real scale
-  the two-pass distributed prefix-sum refinement applies: range-
-  partition by (lang, doc_id), compute per-range token totals (tiny),
-  broadcast the per-range base offsets, then offset locally — the
-  window below IS that second pass, so the shape survives 1000
-  executors.
+* sequence_packing is a TWO-PASS distributed prefix sum: docs are
+  range-partitioned by ``rid = doc_id div RANGE_DOCS`` (ranges are
+  contiguous in the (lang, doc_id) concat order, so per-range sums
+  compose exactly); pass 1 aggregates per-range token totals (a tiny
+  table — corpus_rows / RANGE_DOCS rows), whose cumulative window is
+  metadata-sized; pass 2 windows WITHIN (lang, rid) and adds the
+  range's base offset. No window ever partitions by ``lang`` alone —
+  an entire language's token stream never lands in one task.
 * dedup_incremental joins on constant-width md5 fingerprints — the
   new batch never re-reads corpus text, only its fingerprint index
   (the standard incremental-crawl contract). No broadcast hint: at
@@ -48,6 +49,9 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
 PACK_BUDGET = 256          # tokens per packed context window
+RANGE_DOCS = 128           # docs per prefix-sum range partition; scale
+                           # with corpus size so the per-range total
+                           # table stays small relative to the corpus
 SPLIT_PCT = 80             # % of docs in the standing corpus; rest = new batch
 PLANT_EVERY = 25           # plant a duplicate of every k-th doc (see dedup.py)
 _P1_OFFSET = 1_000_000     # planted batch copies of corpus docs
@@ -90,14 +94,47 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     PACK_BUDGET tokens; each doc starts in bin floor(offset/BUDGET) and
     may span into the next. Reports per-bin fill accounting — docs
     started, tokens contributed, boundary-spanning docs — the numbers
-    that size a packed training shard."""
+    that size a packed training shard.
+
+    The global per-language prefix sum is computed as a two-pass
+    distributed scan (module docstring): ``rid = doc_id div RANGE_DOCS``
+    ranges are contiguous in (lang, doc_id) order, so
+    ``off = base_off(lang, rid) + local prefix within (lang, rid)``
+    is exactly the single-window answer, but the widest window
+    partition holds RANGE_DOCS docs instead of a whole language. The
+    base-offset join carries no broadcast hint (CLAUDE.md rule 10):
+    if AQE shuffles it instead, the join's (lang, rid) partitioning is
+    the same one the pass-2 window needs, so the doc rows still cross
+    the wire exactly once."""
     doc = load_table(spark, sf_dir, "documents")
     base = doc.select(
-        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+        F.expr(f"doc_id div {RANGE_DOCS}").alias("rid"),
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    # pass 1: per-range totals (tiny), cumulative base offset per range.
+    # The cumulative window partitions by lang over RANGE rows — a
+    # metadata-sized table (corpus_rows / RANGE_DOCS), not the corpus.
+    wr = W.partitionBy("lang").orderBy("rid").rowsBetween(W.unboundedPreceding, -1)
+    range_off = (
+        base.groupBy("lang", "rid")
+        .agg(F.sum("n_tok").alias("rtot"))
+        .withColumn("base_off", F.coalesce(F.sum("rtot").over(wr), F.lit(0)))
+        .select("lang", "rid", "base_off")
+    )
+    # pass 2: local prefix within (lang, rid) + the range's base offset
+    wl = (
+        W.partitionBy("lang", "rid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     binned = (
-        base.withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        base.join(range_off, ["lang", "rid"])
+        .withColumn(
+            "off",
+            F.col("base_off") + F.coalesce(F.sum("n_tok").over(wl), F.lit(0)),
+        )
         .withColumn("bin", F.expr(f"off div {PACK_BUDGET}"))
         .withColumn("end_bin", F.expr(f"(off + n_tok - 1) div {PACK_BUDGET}"))
     )

@@ -168,18 +168,36 @@ def test_zorder_single_range_shuffle_no_python(spark):
 
 
 def test_sequence_packing_text_never_shuffled(spark):
-    """Tokenization must collapse to n_tok BEFORE the lang exchange —
+    """Tokenization must collapse to n_tok BEFORE any exchange —
     shipping document text through a shuffle is the 100 TB killer."""
     from gresearch_parquet_benchmarking_spark.operators import pipeline3
     from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(pipeline3.sequence_packing(spark, SF_SMOKE))
     # explain("formatted") puts operator details in footer blocks
-    blocks = [b for b in plan.split("\n\n") if "Exchange" in b and "hashpartitioning(lang" in b]
+    blocks = [b for b in plan.split("\n\n") if "Exchange" in b and "hashpartitioning(" in b]
     assert blocks, plan
-    # the shuffled attributes are (doc_id, lang, n_tok) — never `text`
+    # the shuffled attributes are (doc_id, lang, rid, n_tok) — never `text`
     assert all("text#" not in b for b in blocks), blocks
     assert "Python" not in plan
+
+
+def test_sequence_packing_prefix_sum_is_range_partitioned(spark):
+    """The doc-level prefix-sum window must partition by (lang, rid),
+    never by lang alone — a lang-only window puts an entire language's
+    token stream in ONE task at 100 TB. The only lang-partitioned
+    window allowed is the cumulative pass over the tiny per-range
+    totals (which orders by rid, not doc_id)."""
+    import re
+
+    from gresearch_parquet_benchmarking_spark.operators import pipeline3
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(pipeline3.sequence_packing(spark, SF_SMOKE))
+    # pass-2 window: partition spec includes rid before the doc_id sort
+    assert re.search(r"windowspecdefinition\(lang#\d+, rid#\d+L?, doc_id#", plan), plan
+    # no doc-level window partitioned by lang alone
+    assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), plan
 
 
 def test_dedup_incremental_no_forced_broadcast(spark):
