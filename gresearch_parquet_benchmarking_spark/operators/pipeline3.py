@@ -366,9 +366,9 @@ def curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: rank documents within each language by a
     lexical-diversity score (distinct-token ratio) and cut into
     deciles — the shape a difficulty-ordered training schedule reads.
-    Exact NTILE sorts each language in one task; the 100 TB variant
-    replaces it with approx_percentile cutpoints + width_bucket
-    (map-side), same output contract (module docstring)."""
+    Exact NTILE sorts each language in one task; the 100 TB variant is
+    :func:`curriculum_buckets_approx` below (approx_percentile
+    cutpoints + map-side bucket assignment, no per-language sort)."""
     doc = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
     score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
@@ -385,4 +385,76 @@ def curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("n_chars", alias="avg_chars"),
         )
         .orderBy("lang", "decile")
+    )
+
+
+N_BUCKETS = 10
+SHARE_LO, SHARE_HI = 0.05, 0.15  # balance tolerance vs the ideal 1/10
+
+
+@query(
+    "curriculum_buckets_approx",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           TRUE AS ten_buckets,
+           TRUE AS balanced
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def curriculum_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB curriculum variant: per-language approx_percentile
+    decile cutpoints (one pass, mergeable sketch — no per-language
+    sort) joined back and applied MAP-SIDE (in-row count of cutpoints
+    below the score), where :func:`curriculum_deciles`'s exact NTILE
+    would sort each whole language in a single task.
+
+    Approx cutpoints are engine-implementation-specific, so — like
+    ``agg_approx_sketches`` — the oracle checks the CONTRACT, not the
+    sketch: exact per-language doc counts plus booleans asserting all
+    {N_BUCKETS} buckets are populated and every bucket's population
+    share sits in [{SHARE_LO}, {SHARE_HI}] around the ideal 1/10 (the
+    NTILE twin is exactly-balanced by construction; accuracy=10000 on
+    the driver's sf0.01 corpus makes the cutpoints near-exact). The
+    DuckDB twin emits literal TRUEs — the value hash matches iff every
+    bound holds. Contract calibrated for sf ≥ 0.01 (at sf0.001 a
+    10-doc language cannot populate 10 buckets)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    s = doc.select("doc_id", "lang", score.alias("score"))
+    # one-pass mergeable cutpoint sketch per language (tiny table); no
+    # broadcast hint — lang cardinality scales with the corpus spec,
+    # AQE broadcasts it by size (CLAUDE.md rule 10)
+    qs = [i / N_BUCKETS for i in range(1, N_BUCKETS)]
+    cuts = s.groupBy("lang").agg(
+        F.percentile_approx("score", F.array(*[F.lit(q) for q in qs]), F.lit(10000)).alias(
+            "cuts"
+        )
+    )
+    # map-side bucket assignment: in-row count of cutpoints < score
+    bucket = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("score") > c, 1).otherwise(0),
+    )
+    per_bucket = (
+        s.join(cuts, "lang")
+        .select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    share = F.col("cnt").cast("double") / F.sum("cnt").over(W.partitionBy("lang"))
+    return (
+        per_bucket.withColumn("share", share)
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            (F.count(F.lit(1)) == N_BUCKETS).alias("ten_buckets"),
+            (
+                (F.min("share") >= SHARE_LO) & (F.max("share") <= SHARE_HI)
+            ).alias("balanced"),
+        )
+        .orderBy("lang")
     )

@@ -66,21 +66,21 @@ def query(
 # import can perturb — decides which queries get hard driver signal.
 # Round-4 window rationale: see _ensure_loaded.
 _MODULE_ORDER = [
-    "operators.scale",
-    "operators.pipeline3",
-    "operators.pipeline2",
-    "operators.similarity",
-    "streaming.events_stream",
-    "operators.dedup",
-    "operators.advanced",
     "operators.analytics",
     "operators.sketches",
     "operators.pipeline",
+    "operators.pipeline3",
     "operators.graph",
-    "operators.profile",
+    "operators.similarity",
     "operators.text",
     "operators.multimodal",
     "operators.report",
+    "streaming.events_stream",
+    "operators.dedup",
+    "operators.advanced",
+    "operators.scale",
+    "operators.pipeline2",
+    "operators.profile",
     "operators.tpch2",
     "operators.relational",
     "operators.relational2",
@@ -112,31 +112,22 @@ def _ensure_loaded() -> None:
     # Import for registration side effects; idempotent.
     #
     # Registration ORDER is deliberate: the driver's correctness sweep
-    # snapshots only the first 50 registrations per round. Round-4
-    # window (exactly 50): scale (1 — brand-new) + pipeline3 (5 —
-    # brand-new this round, never driver-checked) + pipeline2 (11 —
-    # incl. the two r3 queries no driver round ever checked plus the r4
-    # anomaly-DECIMAL / histogram NULLS edits) + similarity (11 — incl.
-    # never-checked ann_ivf_recall and new ann_ivf_topk_nprobe2 /
-    # kmeans_train / ann_lsh_recall / dedup_semantic) + events_stream
-    # (7 — incl. new stream_stream_join, stream_dedup_incremental and
-    # stream_centroid_assign) + dedup (6 — driver signal stale since
-    # r1/r2, plus the r4 tracked-persist edit on dedup_minhash_lsh) +
-    # advanced's first 9 (incl. agg_approx_sketches, which gained a
-    # bounds oracle in r4). Displaced: advanced's last 4
-    # (sample_hash_based, agg_regression, window_first_last_nth,
-    # scalar_null_funcs — all FRESH r3-green and unchanged in r4), the
-    # sketches module, and pipeline's first 3
-    # (driver-green in r1/r2). Everything after the window was
-    # driver-green in an earlier round and stays pinned by the local
-    # full-registry gate (scripts_dev/check_queries.py) — EXCEPT
-    # the late-r4 additions — operators.analytics (funnel / cohort
-    # retention / sliding windows / interval-overlap join),
-    # sketches.sketch_hll_rolling_users,
-    # and pipeline.dedup_chunk_boilerplate — added after this round's
-    # window was already at capacity: local-gate green now, and the r5
-    # rotation must put the analytics, sketches, and pipeline modules
-    # at the head of _MODULE_ORDER so they get driver signal.
+    # snapshots only the first 50 registrations per round. Round-5
+    # window (the r4 VERDICT's directive): analytics (4 — never
+    # driver-checked) + sketches (5 — sketch_hll_rolling_users never
+    # checked, rest r2-stale) + pipeline (8 — dedup_chunk_boilerplate
+    # never checked, rest r1/r2-stale) + pipeline3 (6 — the r5
+    # distributed sequence_packing rewrite + new
+    # curriculum_buckets_approx) + graph (1 — r3) + similarity (11 —
+    # r5 NaN-comparator + kmeans persist edits) + text (8 — stalest
+    # big module, r2) + multimodal (5 — r3) + report's first 2
+    # (json_extract_events, events_by_day) = 50. Displaced: pipeline2,
+    # events_stream, dedup, advanced, scale — ALL fresh r4-green and
+    # (except the behavior-preserving NaN branch shared by
+    # stream_centroid_assign) untouched in r5; fresh-green needs no
+    # repeat, never-checked and stale-signal do. Everything outside the
+    # window stays pinned by the local full-registry gate
+    # (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,

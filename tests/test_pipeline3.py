@@ -97,3 +97,18 @@ def test_curriculum_deciles_monotone(spark):
         # score ranges of successive deciles never invert
         assert (grp.min_score.values <= grp.max_score.values).all()
         assert (grp.max_score.values[:-1] <= grp.min_score.values[1:] + 1e-12).all()
+
+
+def test_curriculum_approx_matches_exact_decile_populations(spark):
+    """The approx (map-side) bucketing must reproduce the exact NTILE
+    decile populations within tolerance: same per-language totals, all
+    10 buckets populated, every bucket within ±5 docs of the exact
+    decile size at sf0.01 (near-exact cutpoints at accuracy=10000)."""
+    sf = "/root/testdata/sf0.01"
+    approx = pipeline3.curriculum_buckets_approx(spark, sf).toPandas()
+    exact = pipeline3.curriculum_deciles(spark, sf).toPandas()
+    ex_tot = exact.groupby("lang").n_docs.sum()
+    for _, row in approx.iterrows():
+        assert row.ten_buckets, row
+        assert row.balanced, row
+        assert row.n_docs == ex_tot[row.lang]

@@ -14,57 +14,55 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-4 window (VERDICT r3 "Next round" #1): the three queries no
-# driver round ever checked, every query whose code changed in r4, and
-# the dedup/sketches modules whose driver signal has been stale since
-# r1/r2.
+# Round-5 window (VERDICT r4 "Next round" #1): the six queries no
+# driver round ever checked, every query whose code changed in r5, and
+# the text/multimodal/pipeline/sketches modules whose driver signal has
+# been stale since r1–r3.
 MUST_BE_IN_WINDOW = [
-    # brand-new in round 4 (operators/scale.py, similarity.py)
-    "layout_bucketed_join",
-    "dedup_semantic",
-    # brand-new in round 4 (operators/pipeline3.py)
+    # never driver-checked before round 5 (late-r4 additions)
+    "event_funnel_conversion",
+    "cohort_retention",
+    "events_sliding_active_users",
+    "interval_overlap_users",
+    "sketch_hll_rolling_users",
+    "dedup_chunk_boilerplate",
+    # brand-new in round 5
+    "curriculum_buckets_approx",
+    # changed in round 5 (distributed prefix sum, NaN-safe centroid
+    # comparator, kmeans persist, funnel zero guards, overlap oracle
+    # ordering)
     "sequence_packing",
-    "dedup_incremental",
-    "sample_importance_weighted",
-    "mixture_rebalance",
     "curriculum_deciles",
-    # never driver-checked before round 4
-    "unigram_logprob_score",
-    "dedup_survivorship_by_source",
-    "ann_ivf_recall",
-    # new in round 4
-    "ann_ivf_topk_nprobe2",
-    "stream_stream_join",
-    "stream_dedup_incremental",
-    "stream_centroid_assign",
     "kmeans_train",
-    "ann_lsh_recall",
-    # changed in round 4 (anomaly DECIMAL(38,0), histogram NULLS pin,
-    # tracked persists, IVF nprobe refactor, sketch bounds oracle)
-    "events_daily_anomaly",
-    "doc_length_histogram",
-    "vocab_cooccurrence",
     "ann_ivf_topk",
-    "agg_approx_sketches",
-    "dedup_minhash_lsh",
-    # stale driver signal (r1/r2) — whole dedup module now in-window
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # late-r4 additions (analytics module, sketch_hll_rolling_users,
-    # dedup_chunk_boilerplate) sit after the window by design — r5
-    # rotation puts them first. The sketches module and advanced's
-    # last 4 (sample_hash_based,
-    # agg_regression, window_first_last_nth, scalar_null_funcs — fresh
-    # r3-green, unchanged in r4) are displaced: never-checked beats
-    # stale-but-green, and fresh-green needs no repeat; all stay under
-    # the local gate
+    "ann_ivf_topk_nprobe2",
+    "ann_ivf_recall",
+    "dedup_semantic",
+    "kmeans_reassign_matrix",
+    # stale driver signal — whole modules now in-window
+    "sketch_kmv_distinct",        # sketches: r2
+    "sketch_hll_distinct",
+    "sketch_bloom_membership",
+    "sketch_countmin_freq",
+    "text_token_stats",           # text: r2
+    "text_term_frequency",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_contamination_overlap",  # pipeline: r1/r2
+    "text_redact_blocklist",
+    "sample_stratified_by_lang",
+    "multimodal_binary_meta",     # multimodal: r3
+    "multimodal_decode_features",
+    "dedup_connected_components",  # graph: r3
+    # displaced: pipeline2, events_stream, dedup, advanced, scale — all
+    # fresh r4-green and untouched in r5 (except the
+    # behavior-preserving NaN branch stream_centroid_assign shares);
+    # fresh-green needs no repeat, all stay under the local gate
 ]
 
 
-def test_round4_window_composition():
+def test_round5_window_composition():
     names = list(all_queries())
     window = set(names[:WINDOW])
     missing = [n for n in MUST_BE_IN_WINDOW if n not in window]
