@@ -760,11 +760,16 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape per iteration: centroids (K ≪ corpus) broadcast,
     assignment map-side, update = one groupBy over (K × dim) keys.
-    The unrolled lineage re-reads the corpus once per iteration — at
-    real scale persist each iteration's assignment (graph.py's
-    per-round persist/unpersist pattern); iteration count is fixed and
-    small, mirroring the reference-free training loop contract."""
-    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    The corpus (vectors + their L2 norms, computed ONCE) is persisted
+    via ``registry.track_persist`` — MLlib's training-loop contract —
+    so every Lloyd iteration's E-step reads the cache instead of
+    re-scanning and re-decoding the embedding parquet; sweeps release
+    the cache between queries (release_persists)."""
+    vec = track_persist(
+        _vectors(spark, sf_dir)
+        .select("vec_id", "v")
+        .withColumn("nv", l2_norm(F.col("v")))
+    )
     centroids = vec.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("c_id"), F.col("v").alias("cv")
     )
@@ -772,11 +777,9 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for it in range(KMEANS_ITERS):
         # map-side E-step: broadcast single-row centroid array, in-row
         # argmax (_centroid_array rationale) — no corpus shuffle per
-        # Lloyd iteration
+        # Lloyd iteration; row norms come from the persisted corpus
         cn = centroids.select(F.col("c_id").alias("c_label"), "cv")
-        with_c = vec.crossJoin(
-            F.broadcast(_centroid_array(cn))
-        ).withColumn("nv", l2_norm(F.col("v")))
+        with_c = vec.crossJoin(F.broadcast(_centroid_array(cn)))
         best = F.get(_nearest_centroids(1), 0)
         assigned = with_c.select(
             "vec_id",
