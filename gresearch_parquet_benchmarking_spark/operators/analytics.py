@@ -220,6 +220,49 @@ def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 US_PER_HOUR = 3_600_000_000
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # mirror report.SESSION_GAP_NS // 1000
+OVERLAP_SALT = 8  # fan-out of the hot-bin salt (see _overlap_pairs)
+
+
+def _overlap_pairs(binned: DataFrame) -> DataFrame:
+    """Distinct (user_a, user_b, sid_a, sid_b) overlapping-session pairs
+    from a bin-exploded session table (user_id, session_id, s, e, bin).
+
+    Hot-bin skew guard: the candidate join's only equi-key is the bin
+    id, so a popular hour would otherwise put O(sessions²) pair checks
+    in ONE task. Side A therefore carries a deterministic salt
+    pmod(hash(user, session), OVERLAP_SALT) and side B is replicated
+    across all OVERLAP_SALT salt values — every candidate pair still
+    meets exactly once (at side A's salt), but a hot bin's quadratic
+    work is split across OVERLAP_SALT tasks (salted_hot_key_agg's
+    replicate-the-small-fanout pattern, applied to a self-join). The
+    residual size skew inside a (bin, salt) bucket is AQE skew-join
+    territory (sort-merge join on a shuffle key, splittable at
+    runtime); OVERLAP_SALT scales with the expected hot-bin session
+    density at deployment scale."""
+    a = binned.select(
+        F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"), "bin",
+        F.pmod(F.hash("user_id", "session_id"), F.lit(OVERLAP_SALT)).alias("salt"),
+    )
+    b = binned.select(
+        F.col("user_id").alias("user_b"), F.col("session_id").alias("sid_b"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"), F.col("bin").alias("bin_b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(OVERLAP_SALT - 1))
+        ).alias("salt_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bin") == F.col("bin_b"))
+            & (F.col("salt") == F.col("salt_b"))
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea")),
+        )
+        .select("user_a", "user_b", "sid_a", "sid_b")
+        .distinct()  # a pair overlapping across k shared bins counts once
+    )
 
 
 @query(
@@ -262,7 +305,10 @@ def interval_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     several bins. The DuckDB twin is the direct inequality join (fine
     at oracle scale; IEJoin territory) — binning must not change the
     answer: any overlapping pair shares the bin of max(a.start,
-    b.start), so candidate generation is lossless."""
+    b.start), so candidate generation is lossless. Hot-bin quadratic
+    skew is guarded by the OVERLAP_SALT fan-out in
+    :func:`_overlap_pairs` (output-invariant; skew fixture pinned in
+    tests/test_analytics.py)."""
     ev = load_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     marked = ev.select(
@@ -296,27 +342,9 @@ def interval_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
-    a = binned.select(
-        F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
-        F.col("s").alias("sa"), F.col("e").alias("ea"), "bin",
-    )
-    b = binned.select(
-        F.col("user_id").alias("user_b"), F.col("session_id").alias("sid_b"),
-        F.col("s").alias("sb"), F.col("e").alias("eb"), F.col("bin").alias("bin_b"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("bin") == F.col("bin_b"))
-            & (F.col("user_a") < F.col("user_b"))
-            & (F.col("sa") <= F.col("eb"))
-            & (F.col("sb") <= F.col("ea")),
-        )
-        .select("user_a", "user_b", "sid_a", "sid_b")
-        .distinct()  # a pair overlapping across k shared bins counts once
-    )
     return (
-        pairs.groupBy("user_a", "user_b")
+        _overlap_pairs(binned)
+        .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("user_a", "user_b")
     )

@@ -33,3 +33,42 @@ def test_sliding_windows_overlap(spark):
     n_events = load_events(spark, SF_SMOKE).count()
     assert out.n_events.sum() == 2 * n_events
     assert (out.n_users <= out.n_events).all()
+
+
+def test_overlap_pairs_salt_guard_correct_and_partitioned(spark):
+    """Hot-bin skew fixture: 120 mutually-overlapping single-session
+    users in ONE hour bin plus disjoint background sessions. The salted
+    self-join must (a) return exactly the brute-force pair set, and
+    (b) carry the salt in the join keys so the hot bin's quadratic work
+    is split across OVERLAP_SALT tasks instead of one."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    H = analytics.US_PER_HOUR
+    rows = []
+    # hot bin: users 0..119, all sessions inside hour 1000, all overlap
+    for u in range(120):
+        rows.append((u, 0, 1000 * H + u, 1000 * H + H // 2 + u))
+    # background: one user per hour, no overlaps
+    for u in range(120, 160):
+        h = 2000 + (u - 120) * 3
+        rows.append((u, 0, h * H, h * H + H // 4))
+    sessions = spark.createDataFrame(
+        rows, "user_id long, session_id long, s long, e long"
+    )
+    binned = sessions.select(
+        "user_id", "session_id", "s", "e",
+        F.explode(F.sequence(F.expr(f"s div {H}"), F.expr(f"e div {H}"))).alias("bin"),
+    )
+    got = {
+        (r.user_a, r.user_b)
+        for r in analytics._overlap_pairs(binned).collect()
+    }
+    expect = {(a, b) for a, b in itertools.combinations(range(120), 2)}
+    assert got == expect
+    # salt must be a join key (equi-key alongside the bin id)
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(analytics._overlap_pairs(binned))
+    assert "salt" in plan, plan
