@@ -75,6 +75,8 @@ HEADLINE = [
     "dedup_semantic",
     "layout_bucketed_join",
     "event_funnel_conversion",
+    "cohort_retention",
+    "interval_overlap_users",
 ]
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
