@@ -348,6 +348,20 @@ def bench_io(spark) -> dict[str, float]:
                     lambda: eio.read_single_column_timed(spark, path, first)
                 ),
             )
+            if n >= 1000:
+                # Layout-variant twin (full-detail JSON only): same data
+                # in ONE 100k-row group. The reference fixture's 10
+                # row groups make parquet-mr decode 10x the chunk
+                # metadata and re-init the column reader per group —
+                # this row isolates that per-row-group cost from the
+                # engine's actual column-read cost (REPORT.md §2 note).
+                path_1rg = ensure_wide_fixture(n, READ_ROWS, row_group_rows=READ_ROWS)
+                measured(
+                    out, f"io_pageread_task_1rg_{n}c",
+                    lambda: _single_split_task(
+                        lambda: eio.read_single_column_timed(spark, path_1rg, first)
+                    ),
+                )
             if n == 10:
                 measured(
                     out, "io_fullread_task_10c",
