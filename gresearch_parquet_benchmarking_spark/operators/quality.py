@@ -1,0 +1,378 @@
+"""Pipeline-diagnostics operators: classifier evaluation, sketch
+calibration, and data-quality/duplication cross-analysis.
+
+The reference has no classifier or sketch surface (SURVEY.md §2.9
+extension charter); these are the measurement queries an LLM-data
+pipeline runs to TRUST its other stages:
+
+* ``text_langid_confusion`` — the confusion matrix + per-cell
+  recall/precision shares for the marker-based language-ID heuristic
+  (operators/text.py) against the labeled ``lang`` column — the
+  evaluation every classifier-driven filter needs before it routes
+  100 TB of documents.
+* ``dedup_minhash_calibration`` — MinHash's estimated Jaccard
+  (matching signature components / permutations) against the EXACT
+  shingle Jaccard, aggregated per signature-agreement level over the
+  LSH candidate pairs — the calibration table that decides how many
+  permutations/bands a deployment needs (same role ann_ivf_recall
+  plays for the IVF index).
+* ``quality_vs_dup_lift`` — duplication rate per quality tier and its
+  lift over the corpus-wide rate — whether low-quality documents
+  duplicate more, which decides filter-before-dedup vs dedup-before-
+  filter ordering.
+
+Scale shapes: confusion and lift are map-side expressions + tiny
+aggregations (shuffle keys: language codes / md5 fingerprints /
+quality tiers — all constant width; document text never crosses an
+exchange). Calibration inherits the LSH bucket-join shape from
+operators/dedup.py: candidates meet only inside a band bucket, exact
+Jaccard runs on candidates only, signatures are persisted across their
+two uses (registry.track_persist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
+    norm_fingerprint_col,
+    tokens_col,
+)
+from gresearch_parquet_benchmarking_spark.operators.dedup import (
+    N_BANDS,
+    N_MINHASH,
+    _corpus,
+    _minhash,
+    _shingles,
+    _sql_corpus,
+    _sql_minhash,
+    _SQL_SHINGLES,
+)
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    davg,
+    query,
+    sql_davg,
+    track_persist,
+)
+from gresearch_parquet_benchmarking_spark.operators.text import (
+    LANG_MARKERS,
+    _sql_marker_count,
+)
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+# quality-score tier cutpoints (score range ≈ 0.26–0.58 on the corpus
+# spec; fixed constants so the bucketing is map-side and cross-engine
+# exact — the approx-quantile variant of this trade is
+# curriculum_buckets_approx)
+Q_LOW, Q_HIGH = 0.48, 0.53
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_de THEN 'de'
+                    WHEN s_en THEN 'en'
+                    WHEN s_es THEN 'es'
+                    WHEN s_fr THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM (
+            SELECT lang,
+                   {_sql_marker_count('de')} AS s_de,
+                   {_sql_marker_count('en')} AS s_en,
+                   {_sql_marker_count('es')} AS s_es,
+                   {_sql_marker_count('fr')} AS s_fr,
+                   {_sql_marker_count('zh')} AS s_zh
+            FROM documents
+        )
+    ),
+    cells AS (
+        SELECT lang AS labeled_lang, predicted_lang, COUNT(*) AS n_docs
+        FROM pred GROUP BY lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n_docs,
+           ROUND(n_docs * 1.0 /
+                 SUM(n_docs) OVER (PARTITION BY labeled_lang), 6) AS recall_share,
+           ROUND(n_docs * 1.0 /
+                 SUM(n_docs) OVER (PARTITION BY predicted_lang), 6) AS precision_share
+    FROM cells
+    ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: per (labeled, predicted) cell the
+    document count plus its share of the labeled row (recall mass) and
+    of the predicted column (precision mass). The prediction is the
+    deterministic marker heuristic of text_langid (fixed tiebreak
+    order de<en<es<fr<zh); shares are double divisions of exact
+    integer counts. The corpus-wide scan is map-side; the shuffle keys
+    are language-code pairs."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+
+    def _marker_count(markers: tuple[str, ...]):
+        # factory closure (CLAUDE.md rule 6): F.filter lambdas take
+        # exactly one param; the factory freezes `markers` per lang
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _marker_count(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    predicted = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    cells = (
+        doc.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n = F.col("n_docs").cast("double")
+    return (
+        cells.select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(
+                n / F.sum("n_docs").over(W.partitionBy("labeled_lang")), 6
+            ).alias("recall_share"),
+            F.round(
+                n / F.sum("n_docs").over(W.partitionBy("predicted_lang")), 6
+            ).alias("precision_share"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _calibration_sql() -> str:
+    mh_exprs = ", ".join(f"{_sql_minhash(h)} AS mh{h}" for h in range(N_MINHASH))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, shingles, {b} AS band, mh{2 * b} AS k1, mh{2 * b + 1} AS k2 "
+        "FROM sig"
+        for b in range(N_BANDS)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN sa.mh{h} = sb.mh{h} THEN 1 ELSE 0 END" for h in range(N_MINHASH)
+    )
+    return f"""
+    WITH corpus AS ({_sql_corpus('neardup')}),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+    ),
+    sig AS (SELECT doc_id, shingles, {mh_exprs} FROM sh),
+    bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT ({n_match}) AS n_match,
+               CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / LEN(list_distinct(sa.shingles || sb.shingles)) AS jac
+        FROM cand c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+    )
+    SELECT CAST(n_match AS BIGINT) AS n_match,
+           COUNT(*) AS n_pairs,
+           ROUND({sql_davg('jac', 12)}, 6) AS avg_exact_jaccard,
+           ROUND({sql_davg(f'ABS(n_match / {N_MINHASH}.0 - jac)', 12)}, 6) AS avg_abs_err
+    FROM scored
+    GROUP BY n_match
+    ORDER BY n_match
+    """
+
+
+@query("dedup_minhash_calibration", oracle=_calibration_sql)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration over the LSH candidate pairs: per
+    signature-agreement level (0..N_MINHASH matching components) the
+    pair count, the mean EXACT shingle Jaccard, and the mean absolute
+    error of the MinHash estimate (n_match / N_MINHASH). The table
+    that sizes a deployment's permutation/band budget.
+
+    Scale shape = dedup_minhash_lsh: signatures persisted (they feed
+    the band join and both sides of the verification join), candidates
+    meet only inside (band, k1, k2) buckets, exact Jaccard touches
+    candidates only. Shingle arrays ride along the signature table —
+    at 100 TB the verification join ships shingles only for candidate
+    doc_ids, never the corpus."""
+    corpus = _corpus(spark, sf_dir, "neardup")
+    sig = track_persist(
+        corpus.select("doc_id", _shingles(tokens_col("text")).alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            *[_minhash(F.col("shingles"), h).alias(f"mh{h}") for h in range(N_MINHASH)],
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("k1"),
+                F.col(f"mh{2 * b + 1}").alias("k2"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.k1", "bk.k2"
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"),
+        F.col("k1").alias("k1_b"), F.col("k2").alias("k2_b"),
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("k1") == F.col("k1_b"))
+            & (F.col("k2") == F.col("k2_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh{h}").alias(f"a{h}") for h in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh{h}").alias(f"b{h}") for h in range(N_MINHASH)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(N_MINHASH)
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(n_match.alias("n_match"), jac.alias("jac"))
+    )
+    est_err = F.abs(F.col("n_match") / F.lit(float(N_MINHASH)) - F.col("jac"))
+    return (
+        scored.groupBy(F.col("n_match").cast("long").alias("n_match"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(davg("jac", scale=12), 6).alias("avg_exact_jaccard"),
+            F.round(davg(est_err, scale=12), 6).alias("avg_abs_err"),
+        )
+        .orderBy("n_match")
+    )
+
+
+@query(
+    "quality_vs_dup_lift",
+    oracle=f"""
+    WITH corpus AS ({_sql_corpus('exact')}),
+    scored AS (
+        SELECT CASE WHEN quality < {Q_LOW} THEN 'low'
+                    WHEN quality < {Q_HIGH} THEN 'mid' ELSE 'high' END AS tier,
+               fp
+        FROM (
+            SELECT CAST(CAST(0.4 AS DECIMAL(2,1)) * CAST(len_score AS DECIMAL(18,6))
+                        + CAST(0.3 AS DECIMAL(2,1)) * CAST(stop_ratio AS DECIMAL(18,6))
+                        + CAST(0.3 AS DECIMAL(2,1)) * CAST(uniq_ratio AS DECIMAL(18,6))
+                        AS DOUBLE) AS quality,
+                   fp
+            FROM (
+                SELECT ROUND(CAST(LEN(list_filter(toks, t -> t IN
+                             ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                             / LEN(toks), 6) AS stop_ratio,
+                       ROUND(CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks), 6)
+                           AS uniq_ratio,
+                       ROUND(LEAST(CAST(LEN(toks) AS DOUBLE) / 50.0, 1.0), 6)
+                           AS len_score,
+                       md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+                           AS fp
+                FROM (SELECT text, string_split(text, ' ') AS toks FROM corpus)
+            )
+        )
+    ),
+    flagged AS (
+        SELECT tier, (COUNT(*) OVER (PARTITION BY fp) > 1) AS is_dup FROM scored
+    ),
+    per_tier AS (
+        SELECT tier, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        FROM flagged GROUP BY tier
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+               CAST(SUM(n_dups) AS BIGINT) AS all_dups
+        FROM per_tier
+    )
+    SELECT tier, n_docs, n_dups,
+           ROUND(n_dups * 1.0 / n_docs, 6) AS dup_rate,
+           ROUND((n_dups * 1.0 / n_docs) / (all_dups * 1.0 / all_docs), 6) AS lift
+    FROM per_tier, tot
+    ORDER BY tier
+    """,
+)
+def quality_vs_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate per quality tier and its lift over the
+    corpus-wide rate (corpus = documents ∪ planted exact copies, the
+    dedup.py planting model, so the rate is nonzero by construction).
+    Quality is text_quality_score's exact-decimal combination bucketed
+    by fixed cutpoints (map-side — no per-corpus sort); the dup flag
+    is a count-over-fingerprint window (constant-width md5 shuffle
+    key); the lift denominator is a broadcast 1-row total."""
+    corpus = _corpus(spark, sf_dir, "exact", spread=False)
+    toks = tokens_col("text")
+    n = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"))).cast("double") / n,
+        6,
+    )
+    uniq_ratio = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)
+    len_score = F.round(F.least(n.cast("double") / 50.0, F.lit(1.0)), 6)
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    w4 = F.lit("0.4").cast("decimal(2,1)")
+    w3 = F.lit("0.3").cast("decimal(2,1)")
+    quality = (w4 * dec(len_score) + w3 * dec(stop_ratio) + w3 * dec(uniq_ratio)).cast(
+        "double"
+    )
+    tier = (
+        F.when(quality < Q_LOW, "low").when(quality < Q_HIGH, "mid").otherwise("high")
+    )
+    scored = corpus.select(
+        tier.alias("tier"), norm_fingerprint_col("text").alias("fp")
+    )
+    flagged = scored.select(
+        "tier", (F.count(F.lit(1)).over(W.partitionBy("fp")) > 1).alias("is_dup")
+    )
+    per_tier = flagged.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dups"),
+    )
+    tot = per_tier.agg(
+        F.sum("n_docs").alias("all_docs"), F.sum("n_dups").alias("all_dups")
+    )
+    rate = F.col("n_dups").cast("double") / F.col("n_docs")
+    overall = F.col("all_dups").cast("double") / F.col("all_docs")
+    return (
+        per_tier.crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_docs",
+            "n_dups",
+            F.round(rate, 6).alias("dup_rate"),
+            F.round(rate / overall, 6).alias("lift"),
+        )
+        .orderBy("tier")
+    )

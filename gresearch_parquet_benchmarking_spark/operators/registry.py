@@ -71,6 +71,7 @@ _MODULE_ORDER = [
     "operators.pipeline",
     "operators.pipeline3",
     "operators.graph",
+    "operators.quality",
     "operators.similarity",
     "operators.text",
     "operators.multimodal",
@@ -118,11 +119,13 @@ def _ensure_loaded() -> None:
     # checked, rest r2-stale) + pipeline (8 — dedup_chunk_boilerplate
     # never checked, rest r1/r2-stale) + pipeline3 (6 — the r5
     # distributed sequence_packing rewrite + new
-    # curriculum_buckets_approx) + graph (1 — r3) + similarity (11 —
-    # r5 NaN-comparator + kmeans persist edits) + text (8 — stalest
-    # big module, r2) + multimodal (5 — r3) + report's first 2
-    # (json_extract_events, events_by_day) = 50. Displaced: pipeline2,
-    # events_stream, dedup, advanced, scale — ALL fresh r4-green and
+    # curriculum_buckets_approx) + graph (1 — r3) + quality (3 —
+    # brand-new r5 module: langid confusion, minhash calibration,
+    # quality-vs-dup lift) + similarity (14 — r5 NaN-comparator +
+    # kmeans persist edits, plus new dim-covariance / whitening / PQ
+    # codebook) + text (8 — stalest big module, r2) + multimodal's
+    # first 1 (binary_meta) = 50. Displaced: pipeline2, events_stream,
+    # dedup, advanced, scale, report — ALL fresh r4/r3-green and
     # (except the behavior-preserving NaN branch shared by
     # stream_centroid_assign) untouched in r5; fresh-green needs no
     # repeat, never-checked and stale-signal do. Everything outside the
@@ -139,6 +142,7 @@ def _ensure_loaded() -> None:
         advanced,
         analytics,
         dedup,
+        quality,
         sketches,
         pipeline,
         graph,

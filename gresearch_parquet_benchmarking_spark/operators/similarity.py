@@ -991,3 +991,314 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dropped")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding statistics / preprocessing (round 5)
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8  # product-quantization subspaces (64-d → 8 × 8-d)
+
+
+@query(
+    "embedding_dim_covariance",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM v
+    ),
+    means AS (
+        SELECT i, CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+        FROM flat GROUP BY i
+    ),
+    exy AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS exy
+        FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT CAST(e.i AS BIGINT) AS i, CAST(e.j AS BIGINT) AS j,
+           ROUND(e.exy - ma.mx * mb.mx, 8) AS cov
+    FROM exy e JOIN means ma ON e.i = ma.i JOIN means mb ON e.j = mb.i
+    ORDER BY i, j
+    """,
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle dimension-covariance matrix of the embedding
+    corpus (diagonal = per-dimension variance) — the collapse/whitening
+    diagnostic an embedding pipeline monitors.
+
+    Scale shape: the outer product is built IN-ROW (nested transform
+    over the vector, d(d+1)/2 structs) and aggregated with map-side
+    partial sums — the shuffle carries only d² keys × partial
+    accumulators, never row-level data; per-dim means are a d-row
+    broadcastable table joined at the end. Cross-engine exact: E[xy]
+    and E[x] are decimal-accumulated; cov = exy − mx·my is IEEE on
+    deterministic doubles. At much higher d, cap pairs to a
+    top-variance subset first (same shape, fewer keys)."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    flat = vec.select(F.posexplode("v").alias("i", "x"))
+    means = flat.groupBy("i").agg(
+        (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("mx")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("v"),
+                lambda x, i: F.transform(
+                    F.col("v"),
+                    lambda y, j: F.struct(
+                        i.alias("i"), j.alias("j"), (x * y).alias("xy")
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["i"] <= s["j"],
+    )
+    exy = (
+        vec.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum(F.col("xy").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("exy")
+        )
+    )
+    ma = means.select(F.col("i").alias("i"), F.col("mx").alias("mi"))
+    mb = means.select(F.col("i").alias("j"), F.col("mx").alias("mj"))
+    return (
+        exy.join(ma, "i")
+        .join(mb, "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round(F.col("exy") - F.col("mi") * F.col("mj"), 8).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "embedding_whitening",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM v
+    ),
+    st AS (
+        SELECT i, mx, sqrt(ex2 - mx * mx) AS sd
+        FROM (
+            SELECT i,
+                   CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx,
+                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS ex2
+            FROM flat GROUP BY i
+        )
+    ),
+    wl AS (
+        SELECT f.vec_id,
+               list((f.x - st.mx) / st.sd ORDER BY f.i) AS z
+        FROM flat f JOIN st ON f.i = st.i
+        GROUP BY f.vec_id
+    )
+    SELECT v.vec_id,
+           ROUND(sqrt(list_dot_product(v.v, v.v)), 6) AS l2_raw,
+           ROUND(sqrt(list_dot_product(wl.z, wl.z)), 6) AS l2_white,
+           ROUND(list_max(list_transform(wl.z, e -> ABS(e))), 6) AS max_abs_z
+    FROM v JOIN wl ON v.vec_id = wl.vec_id
+    ORDER BY v.vec_id
+    """,
+)
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening): z_i =
+    (x_i − μ_i)/σ_i, reporting each vector's norm before/after and its
+    max |z| (the outlier screen). Preprocessing every
+    cosine-similarity index wants when dimensions have uneven scale.
+
+    Scale shape: the d-row (μ, σ) table collapses to a single-row
+    sorted array and broadcasts (the _centroid_array trick) — the
+    transform is pure map-side in-row arithmetic; the corpus is
+    scanned once and never shuffled. Determinism: μ/σ² are
+    decimal-accumulated; per-element (x−μ)/σ is IEEE; norms fold
+    sequentially in-row on both engines (list_dot_product twin)."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    flat = vec.select(F.posexplode("v").alias("i", "x"))
+    st = (
+        flat.groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mx"),
+            (
+                F.sum((F.col("x") * F.col("x")).cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ex2"),
+        )
+        .select(
+            "i", "mx", F.sqrt(F.col("ex2") - F.col("mx") * F.col("mx")).alias("sd")
+        )
+    )
+    stats_row = st.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mx", "sd"))).alias("stats")
+    )
+    z = F.transform(
+        F.col("v"),
+        lambda x, i: (x - F.get(F.col("stats"), i)["mx"])
+        / F.get(F.col("stats"), i)["sd"],
+    )
+    return (
+        vec.crossJoin(F.broadcast(stats_row))
+        .select(
+            "vec_id",
+            F.round(l2_norm(F.col("v")), 6).alias("l2_raw"),
+            F.round(l2_norm(z), 6).alias("l2_white"),
+            F.round(F.array_max(F.transform(z, lambda e: F.abs(e))), 6).alias(
+                "max_abs_z"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+PQ_SUB_DIM = 8  # 64-d / PQ_SUBSPACES
+
+
+@query(
+    "ann_pq_codebook",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, label, m,
+               v[m * {PQ_SUB_DIM} + 1 : m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
+        FROM vecs CROSS JOIN (SELECT unnest(range(0, {PQ_SUBSPACES})) AS m)
+    ),
+    flat AS (
+        SELECT label, m, generate_subscripts(sv, 1) AS i, unnest(sv) AS x FROM sub
+    ),
+    dims AS (
+        SELECT m, label, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM flat GROUP BY m, label, i
+    ),
+    cb AS (
+        SELECT m, label AS cw, list(cx ORDER BY i) AS cv
+        FROM dims GROUP BY m, label
+    ),
+    scored AS (
+        SELECT s.vec_id, s.m, c.cw,
+               list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY list_dot_product(s.sv, s.sv)
+                            - 2 * list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv) ASC, c.cw
+               ) AS rnk
+        FROM sub s JOIN cb c ON s.m = c.m
+    )
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(cw AS BIGINT) AS codeword,
+           COUNT(*) AS n_assigned,
+           ROUND(CAST(SUM(CAST(d2 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_sq_dist
+    FROM scored WHERE rnk = 1
+    GROUP BY m, cw
+    ORDER BY subspace, codeword
+    """,
+)
+def ann_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the vector splits into PQ_SUBSPACES
+    contiguous 8-d subvectors; each subspace gets a 10-codeword
+    codebook (exact per-label subvector means — the deterministic
+    seeding used by the IVF/k-means family) and every subvector is
+    assigned to its nearest codeword by squared L2. Reports per
+    (subspace, codeword) population and mean quantization distortion —
+    the table that decides codebook size before compressing a 100 TB
+    vector corpus 32× (64 floats → 8 codes).
+
+    Scale shape: subvector explosion is map-side (M rows per vector,
+    constant M); codebooks (M × 10 rows) collapse to ONE broadcast
+    array row, assignment is in-row argmin (no corpus shuffle — the
+    _centroid_array rationale); the only aggregation shuffles M × 10
+    constant-width keys. Determinism: codeword means are
+    decimal-accumulated; d² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩ is the identical
+    IEEE tree on both engines (sequential in-row folds); ties break to
+    the lowest codeword."""
+    vec = _vectors(spark, sf_dir)
+    sub = vec.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+                lambda m: F.slice(F.col("v"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM),
+            )
+        ).alias("m", "sv"),
+    )
+    flat = sub.select("label", "m", F.posexplode("sv").alias("i", "x"))
+    dims = flat.groupBy("m", "label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cx")
+    )
+    cb = (
+        dims.groupBy("m", F.col("label").alias("cw"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("m").alias("cm"),
+            "cw",
+            F.transform("pairs", lambda p: p["cx"]).alias("cv"),
+        )
+        .withColumn("c2", dot_product(F.col("cv"), F.col("cv")))
+    )
+    cb_row = cb.agg(
+        F.array_sort(F.collect_list(F.struct("cm", "cw", "cv", "c2"))).alias("cbs")
+    )
+    ss = dot_product(F.col("sv"), F.col("sv"))
+    cands = F.filter(F.col("cbs"), lambda c: c["cm"] == F.col("m"))
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            (ss - F.lit(2.0) * dot_product(F.col("sv"), c["cv"]) + c["c2"]).alias("d2"),
+            c["cw"].alias("cw"),
+        ),
+    )
+    best = F.get(
+        F.array_sort(
+            scored,
+            lambda a, b: F.when(a["d2"] < b["d2"], F.lit(-1))
+            .when(a["d2"] > b["d2"], F.lit(1))
+            .when(a["cw"] < b["cw"], F.lit(-1))
+            .when(a["cw"] > b["cw"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        0,
+    )
+    assigned = sub.crossJoin(F.broadcast(cb_row)).select(
+        F.col("m").cast("long").alias("subspace"),
+        best["cw"].cast("long").alias("codeword"),
+        best["d2"].alias("d2"),
+    )
+    return (
+        assigned.groupBy("subspace", "codeword")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_sq_dist"),
+        )
+        .orderBy("subspace", "codeword")
+    )

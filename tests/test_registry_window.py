@@ -28,6 +28,12 @@ MUST_BE_IN_WINDOW = [
     "dedup_chunk_boilerplate",
     # brand-new in round 5
     "curriculum_buckets_approx",
+    "text_langid_confusion",
+    "dedup_minhash_calibration",
+    "quality_vs_dup_lift",
+    "embedding_dim_covariance",
+    "embedding_whitening",
+    "ann_pq_codebook",
     # changed in round 5 (distributed prefix sum, NaN-safe centroid
     # comparator, kmeans persist, funnel zero guards, overlap oracle
     # ordering)
@@ -52,8 +58,9 @@ MUST_BE_IN_WINDOW = [
     "text_contamination_overlap",  # pipeline: r1/r2
     "text_redact_blocklist",
     "sample_stratified_by_lang",
-    "multimodal_binary_meta",     # multimodal: r3
-    "multimodal_decode_features",
+    "multimodal_binary_meta",     # multimodal: r3 (rest of the module
+    # displaced by the 7 new r5 queries — new-never-checked beats
+    # stale-but-green)
     "dedup_connected_components",  # graph: r3
     # displaced: pipeline2, events_stream, dedup, advanced, scale — all
     # fresh r4-green and untouched in r5 (except the
