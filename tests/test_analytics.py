@@ -35,22 +35,25 @@ def test_sliding_windows_overlap(spark):
     assert (out.n_users <= out.n_events).all()
 
 
-def test_overlap_pairs_salt_guard_correct_and_partitioned(spark):
+def test_overlap_pairs_salt_guard_correct_and_partitioned(spark, monkeypatch):
     """Hot-bin skew fixture: 120 mutually-overlapping single-session
-    users in ONE hour bin plus disjoint background sessions. The salted
-    self-join must (a) return exactly the brute-force pair set, and
-    (b) carry the salt in the join keys so the hot bin's quadratic work
-    is split across OVERLAP_SALT tasks instead of one."""
+    users in ONE hour bin plus disjoint background sessions, with the
+    hotness threshold lowered so the hot bin crosses it. The adaptive
+    salt must (a) return exactly the brute-force pair set, and (b)
+    carry the salt in the join keys so the hot bin's quadratic work is
+    split across its fanout instead of one task."""
     import itertools
 
     from pyspark.sql import functions as F
 
+    monkeypatch.setattr(analytics, "HOT_BIN_SESSIONS", 32)
     H = analytics.US_PER_HOUR
     rows = []
     # hot bin: users 0..119, all sessions inside hour 1000, all overlap
+    # (120 sessions / threshold 32 → fanout 4)
     for u in range(120):
         rows.append((u, 0, 1000 * H + u, 1000 * H + H // 2 + u))
-    # background: one user per hour, no overlaps
+    # background: one user per hour, no overlaps (fanout stays 1)
     for u in range(120, 160):
         h = 2000 + (u - 120) * 3
         rows.append((u, 0, h * H, h * H + H // 4))
@@ -68,7 +71,11 @@ def test_overlap_pairs_salt_guard_correct_and_partitioned(spark):
     expect = {(a, b) for a, b in itertools.combinations(range(120), 2)}
     assert got == expect
     # salt must be a join key (equi-key alongside the bin id)
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        release_persists,
+    )
     from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(analytics._overlap_pairs(binned))
+    release_persists()
     assert "salt" in plan, plan
