@@ -45,6 +45,7 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
     davg,
     query,
     sql_davg,
+    track_persist,
 )
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
@@ -107,11 +108,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same one the pass-2 window needs, so the doc rows still cross
     the wire exactly once."""
     doc = load_table(spark, sf_dir, "documents")
-    base = doc.select(
-        "doc_id",
-        "lang",
-        F.size(tokens_col("text")).cast("long").alias("n_tok"),
-        F.expr(f"doc_id div {RANGE_DOCS}").alias("rid"),
+    # persisted: the tokenize-and-count projection feeds BOTH passes
+    # (per-range totals and the local window) — without it the corpus
+    # is tokenized twice. Constant-width rows (doc_id, lang, n_tok,
+    # rid); text itself is never retained or shuffled.
+    base = track_persist(
+        doc.select(
+            "doc_id",
+            "lang",
+            F.size(tokens_col("text")).cast("long").alias("n_tok"),
+            F.expr(f"doc_id div {RANGE_DOCS}").alias("rid"),
+        )
     )
     # pass 1: per-range totals (tiny), cumulative base offset per range.
     # The cumulative window partitions by lang over RANGE rows — a
