@@ -1,0 +1,103 @@
+"""Semantic tests for the round-5 diagnostics operators
+(operators/quality.py) and embedding statistics (similarity.py):
+the oracle twins pin cross-engine equality; these pin that the
+SEMANTICS are right — confusion shares sum to one, calibration is
+consistent with the LSH thresholding story, lift averages out to one,
+covariance diagonals are variances, whitening standardizes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from conftest import SF_CORRECT
+
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators import quality, similarity
+from gresearch_parquet_benchmarking_spark.operators.registry import release_persists
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_persists()
+
+
+def test_langid_confusion_shares_and_totals(spark):
+    out = quality.text_langid_confusion(spark, SF_CORRECT).toPandas()
+    docs = load_table(spark, SF_CORRECT, "documents")
+    per_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every labeled row's cells sum to the language's doc count and its
+    # recall shares sum to 1
+    for lang, grp in out.groupby("labeled_lang"):
+        assert grp.n_docs.sum() == per_lang[lang]
+        assert abs(grp.recall_share.sum() - 1.0) < 1e-5
+    for _, grp in out.groupby("predicted_lang"):
+        assert abs(grp.precision_share.sum() - 1.0) < 1e-5
+
+
+def test_minhash_calibration_covers_planted_neardups(spark):
+    out = quality.dedup_minhash_calibration(spark, SF_CORRECT).toPandas()
+    # candidates exist, estimates live in [0,1], and the pair mass at
+    # full signature agreement has near-1 exact Jaccard (the planted
+    # neardup copies differ by 2 leading tokens only)
+    assert out.n_pairs.sum() > 0
+    assert (out.n_match.between(0, quality.N_MINHASH)).all()
+    assert (out.avg_exact_jaccard.between(0.0, 1.0)).all()
+    full = out[out.n_match == quality.N_MINHASH]
+    assert not full.empty and (full.avg_exact_jaccard > 0.8).all()
+    # the estimator is unbiased-ish where the mass is: mean abs error
+    # bounded well below the 1/N_MINHASH quantization step x 2
+    assert (out.avg_abs_err <= 0.25).all()
+
+
+def test_quality_dup_lift_averages_to_one(spark):
+    out = quality.quality_vs_dup_lift(spark, SF_CORRECT).toPandas()
+    # doc-weighted mean of tier rates == overall rate  =>  weighted
+    # mean lift == 1
+    total = out.n_docs.sum()
+    weighted = (out.lift * out.n_docs).sum() / total
+    assert abs(weighted - 1.0) < 1e-3
+    assert (out.n_dups <= out.n_docs).all()
+    assert out.n_dups.sum() > 0  # planting guarantees dups
+
+
+def test_covariance_diagonal_is_variance(spark):
+    out = similarity.embedding_dim_covariance(spark, SF_CORRECT).toPandas()
+    d = int(out.j.max()) + 1
+    assert len(out) == d * (d + 1) // 2
+    diag = out[out.i == out.j]
+    assert len(diag) == d
+    assert (diag["cov"] >= 0).all()
+    # Cauchy-Schwarz: |cov(i,j)| <= sd_i * sd_j
+    sd = {int(r.i): math.sqrt(r.cov) for r in diag.itertuples()}
+    off = out[out.i != out.j]
+    assert all(
+        abs(r.cov) <= sd[int(r.i)] * sd[int(r.j)] + 1e-9 for r in off.itertuples()
+    )
+
+
+def test_whitening_standardizes(spark):
+    out = similarity.embedding_whitening(spark, SF_CORRECT).toPandas()
+    n = len(out)
+    # sum over vectors of ||z||^2 = n * d exactly (per-dim z has unit
+    # variance and mean ~0 across the corpus)
+    d = 64
+    total_sq = (out.l2_white**2).sum()
+    assert abs(total_sq / (n * d) - 1.0) < 1e-3
+    assert (out.max_abs_z > 0).all()
+    assert (out.l2_raw > 0).all()
+
+
+def test_pq_codebook_partitions_and_distortion(spark):
+    out = similarity.ann_pq_codebook(spark, SF_CORRECT).toPandas()
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n = emb.count()
+    # every (vector, subspace) assigned exactly once
+    for m, grp in out.groupby("subspace"):
+        assert grp.n_assigned.sum() == n
+    assert out.subspace.nunique() == similarity.PQ_SUBSPACES
+    assert (out.avg_sq_dist >= 0).all()
