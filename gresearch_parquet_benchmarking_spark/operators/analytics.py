@@ -361,3 +361,93 @@ def interval_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("user_a", "user_b")
     )
+
+
+ATTR_WINDOW_US = 24 * US_PER_HOUR  # attribution lookback
+
+
+@query(
+    "event_attribution_last_touch",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+    ),
+    marked AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts_us END IGNORE NULLS) OVER w AS touch_ts
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+        SELECT CASE WHEN touch_ts IS NOT NULL AND ts_us - touch_ts <= {ATTR_WINDOW_US}
+                    THEN touch_type ELSE 'none' END AS channel,
+               value,
+               CASE WHEN touch_ts IS NOT NULL AND ts_us - touch_ts <= {ATTR_WINDOW_US}
+                    THEN ts_us - touch_ts END AS lag_us
+        FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+           ROUND(CAST(CAST(SUM(lag_us) AS BIGINT) AS DOUBLE)
+                 / NULLIF(COUNT(lag_us), 0), 3) AS avg_lag_us
+    FROM p
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the most
+    recent view/click by the same user within ATTR_WINDOW_US (else
+    'none') — the marketing-attribution rollup every event warehouse
+    runs. The carried-forward last touch is ONE ignore-nulls window
+    over the user partition (the same single-exchange shape as the
+    funnel); revenue is decimal-summed; the average lag is a double
+    division of exact integer sums with a NULLIF guard for the 'none'
+    channel."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts_us"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    marked = ev.withColumn(
+        "touch_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+    ).withColumn(
+        "touch_ts",
+        F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True).over(w),
+    )
+    within = F.col("touch_ts").isNotNull() & (
+        F.col("ts_us") - F.col("touch_ts") <= ATTR_WINDOW_US
+    )
+    p = marked.filter(F.col("event_type") == "purchase").select(
+        F.when(within, F.col("touch_type")).otherwise("none").alias("channel"),
+        "value",
+        F.when(within, F.col("ts_us") - F.col("touch_ts")).alias("lag_us"),
+    )
+    n_lag = F.count("lag_us")
+    return (
+        p.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.round(
+                F.when(
+                    n_lag > 0,
+                    F.sum("lag_us").cast("double") / n_lag,
+                ),
+                3,
+            ).alias("avg_lag_us"),
+        )
+        .orderBy("channel")
+    )

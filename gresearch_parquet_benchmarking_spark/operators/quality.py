@@ -376,3 +376,95 @@ def quality_vs_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+PMI_MIN_COUNT = 10  # bigram support threshold for the collocation table
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT token, COUNT(*) AS c
+        FROM (SELECT UNNEST(t) AS token FROM toks) GROUP BY token
+    ),
+    t_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS tu FROM uni),
+    bg AS (
+        SELECT w1, w2, COUNT(*) AS c_xy
+        FROM (
+            SELECT UNNEST([t[i] FOR i IN range(1, len(t))]) AS w1,
+                   UNNEST([t[i+1] FOR i IN range(1, len(t))]) AS w2
+            FROM toks
+        )
+        GROUP BY w1, w2
+    ),
+    t_bi AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS tb FROM bg)
+    SELECT w1, w2, c_xy,
+           ROUND(log2((CAST(c_xy AS DOUBLE) / tb)
+                      / ((CAST(u1.c AS DOUBLE) / tu) * (CAST(u2.c AS DOUBLE) / tu))),
+                 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.token
+    JOIN uni u2 ON bg.w2 = u2.token
+    CROSS JOIN t_uni CROSS JOIN t_bi
+    WHERE c_xy >= {PMI_MIN_COUNT}
+    ORDER BY w1, w2
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for corpus bigrams with support ≥
+    PMI_MIN_COUNT: pmi = log2(P(xy) / (P(x)·P(y))) under the corpus's
+    own unigram/bigram models — the collocation detector ("new york"
+    vs chance co-occurrence) a tokenizer-vocabulary or phrase-mining
+    pass runs.
+
+    Scale shape: bigrams are built in-row (zip_with over shifted
+    slices, the text_bigram_counts pattern) and count-aggregated with
+    map-side combine; the two unigram joins ship (token, count) pairs
+    only — Zipf skew on the token key is AQE skew-join territory;
+    totals are broadcast 1-row aggregates. Determinism: counts are
+    exact integers; the pmi expression is the identical IEEE
+    double-division/log2 tree on both engines (the
+    unigram_logprob_score treatment), emitted rounded to 6."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    toks = doc.select(t.alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_uni = uni.agg(F.sum("c").cast("long").alias("tu"))
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.size(F.col("t")) - 1),
+        F.slice(F.col("t"), 2, F.size(F.col("t")) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    t_bi = bg.agg(F.sum("c_xy").cast("long").alias("tb"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log2(
+        (F.col("c_xy").cast("double") / F.col("tb"))
+        / (
+            (F.col("c1").cast("double") / F.col("tu"))
+            * (F.col("c2").cast("double") / F.col("tu"))
+        )
+    )
+    return (
+        bg.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select("w1", "w2", "c_xy", F.round(pmi, 6).alias("pmi"))
+        .orderBy("w1", "w2")
+    )

@@ -114,23 +114,23 @@ def _ensure_loaded() -> None:
     #
     # Registration ORDER is deliberate: the driver's correctness sweep
     # snapshots only the first 50 registrations per round. Round-5
-    # window (the r4 VERDICT's directive): analytics (4 — never
-    # driver-checked) + sketches (5 — sketch_hll_rolling_users never
-    # checked, rest r2-stale) + pipeline (8 — dedup_chunk_boilerplate
-    # never checked, rest r1/r2-stale) + pipeline3 (6 — the r5
-    # distributed sequence_packing rewrite + new
-    # curriculum_buckets_approx) + graph (1 — r3) + quality (3 —
-    # brand-new r5 module: langid confusion, minhash calibration,
-    # quality-vs-dup lift) + similarity (14 — r5 NaN-comparator +
-    # kmeans persist edits, plus new dim-covariance / whitening / PQ
-    # codebook) + text (8 — stalest big module, r2) + multimodal's
-    # first 1 (binary_meta) = 50. Displaced: pipeline2, events_stream,
-    # dedup, advanced, scale, report — ALL fresh r4/r3-green and
-    # (except the behavior-preserving NaN branch shared by
-    # stream_centroid_assign) untouched in r5; fresh-green needs no
-    # repeat, never-checked and stale-signal do. Everything outside the
-    # window stays pinned by the local full-registry gate
-    # (scripts_dev/check_queries.py).
+    # window (the r4 VERDICT's directive): analytics (5 — 4 never
+    # driver-checked + new attribution) + sketches (5 —
+    # sketch_hll_rolling_users never checked, rest r2-stale) +
+    # pipeline (8 — dedup_chunk_boilerplate never checked, rest
+    # r1/r2-stale) + pipeline3 (6 — the r5 distributed
+    # sequence_packing rewrite + new curriculum_buckets_approx) +
+    # graph (1 — r3) + quality (4 — brand-new r5 module: langid
+    # confusion, minhash calibration, quality-vs-dup lift, PMI
+    # collocations) + similarity (15 — r5 NaN-comparator + kmeans
+    # persist edits, plus new dim-covariance / whitening / PQ codebook
+    # / IVF-PQ search) + text's first 6 (stalest big module, r2) = 50.
+    # Displaced: pipeline2, events_stream, dedup, advanced, scale,
+    # report, multimodal — ALL fresh r4/r3-green and (except the
+    # behavior-preserving NaN branch shared by stream_centroid_assign)
+    # untouched in r5; fresh-green needs no repeat, never-checked and
+    # stale-signal do. Everything outside the window stays pinned by
+    # the local full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,

@@ -1170,11 +1170,12 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_SUB_DIM = 8  # 64-d / PQ_SUBSPACES
 
-
-@query(
-    "ann_pq_codebook",
-    oracle=f"""
-    WITH vecs AS (
+# Shared SQL CTE chain for the PQ family (ann_pq_codebook,
+# ann_ivf_pq_topk): corpus → subvectors → per-(subspace, label)
+# codebooks. DuckDB list slice is 1-based end-INCLUSIVE (CLAUDE.md
+# rule 5).
+_PQ_SQL_CTES = f"""
+    vecs AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
@@ -1194,16 +1195,88 @@ PQ_SUB_DIM = 8  # 64-d / PQ_SUBSPACES
     cb AS (
         SELECT m, label AS cw, list(cx ORDER BY i) AS cv
         FROM dims GROUP BY m, label
-    ),
+    )"""
+
+# d²(s, c) = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩ — the same IEEE tree as the Spark
+# side's dot_product folds
+_SQL_PQ_D2 = (
+    "list_dot_product({s}, {s}) - 2 * list_dot_product({s}, {c})"
+    " + list_dot_product({c}, {c})"
+)
+
+
+def _pq_sub(vec: DataFrame) -> DataFrame:
+    """Map-side split into (vec_id, label, m, sv) subvector rows."""
+    return vec.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+                lambda m: F.slice(F.col("v"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM),
+            )
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """Per-(subspace, codeword) centroid subvectors with precomputed
+    ⟨c,c⟩: exact decimal per-dimension means (cm, cw, cv, c2)."""
+    flat = sub.select("label", "m", F.posexplode("sv").alias("i", "x"))
+    dims = flat.groupBy("m", "label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cx")
+    )
+    return (
+        dims.groupBy("m", F.col("label").alias("cw"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("m").alias("cm"),
+            "cw",
+            F.transform("pairs", lambda p: p["cx"]).alias("cv"),
+        )
+        .withColumn("c2", dot_product(F.col("cv"), F.col("cv")))
+    )
+
+
+def _pq_best() -> Column:
+    """In-row nearest-codeword struct (d2, cw) for a subvector row
+    against the broadcast ``cbs`` codebook array — ties to the lowest
+    codeword; argmin by comparator, fully map-side."""
+    ss = dot_product(F.col("sv"), F.col("sv"))
+    cands = F.filter(F.col("cbs"), lambda c: c["cm"] == F.col("m"))
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            (ss - F.lit(2.0) * dot_product(F.col("sv"), c["cv"]) + c["c2"]).alias("d2"),
+            c["cw"].alias("cw"),
+        ),
+    )
+    return F.get(
+        F.array_sort(
+            scored,
+            lambda a, b: F.when(a["d2"] < b["d2"], F.lit(-1))
+            .when(a["d2"] > b["d2"], F.lit(1))
+            .when(a["cw"] < b["cw"], F.lit(-1))
+            .when(a["cw"] > b["cw"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        0,
+    )
+
+
+@query(
+    "ann_pq_codebook",
+    oracle=f"""
+    WITH {_PQ_SQL_CTES},
     scored AS (
         SELECT s.vec_id, s.m, c.cw,
-               list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
-                   + list_dot_product(c.cv, c.cv) AS d2,
+               {_SQL_PQ_D2.format(s='s.sv', c='c.cv')} AS d2,
                ROW_NUMBER() OVER (
                    PARTITION BY s.vec_id, s.m
-                   ORDER BY list_dot_product(s.sv, s.sv)
-                            - 2 * list_dot_product(s.sv, c.cv)
-                            + list_dot_product(c.cv, c.cv) ASC, c.cw
+                   ORDER BY {_SQL_PQ_D2.format(s='s.sv', c='c.cv')} ASC, c.cw
                ) AS rnk
         FROM sub s JOIN cb c ON s.m = c.m
     )
@@ -1235,56 +1308,11 @@ def ann_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE tree on both engines (sequential in-row folds); ties break to
     the lowest codeword."""
     vec = _vectors(spark, sf_dir)
-    sub = vec.select(
-        "vec_id",
-        "label",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
-                lambda m: F.slice(F.col("v"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM),
-            )
-        ).alias("m", "sv"),
-    )
-    flat = sub.select("label", "m", F.posexplode("sv").alias("i", "x"))
-    dims = flat.groupBy("m", "label", "i").agg(
-        (
-            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cx")
-    )
-    cb = (
-        dims.groupBy("m", F.col("label").alias("cw"))
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
-        .select(
-            F.col("m").alias("cm"),
-            "cw",
-            F.transform("pairs", lambda p: p["cx"]).alias("cv"),
-        )
-        .withColumn("c2", dot_product(F.col("cv"), F.col("cv")))
-    )
-    cb_row = cb.agg(
+    sub = _pq_sub(vec)
+    cb_row = _pq_codebook(sub).agg(
         F.array_sort(F.collect_list(F.struct("cm", "cw", "cv", "c2"))).alias("cbs")
     )
-    ss = dot_product(F.col("sv"), F.col("sv"))
-    cands = F.filter(F.col("cbs"), lambda c: c["cm"] == F.col("m"))
-    scored = F.transform(
-        cands,
-        lambda c: F.struct(
-            (ss - F.lit(2.0) * dot_product(F.col("sv"), c["cv"]) + c["c2"]).alias("d2"),
-            c["cw"].alias("cw"),
-        ),
-    )
-    best = F.get(
-        F.array_sort(
-            scored,
-            lambda a, b: F.when(a["d2"] < b["d2"], F.lit(-1))
-            .when(a["d2"] > b["d2"], F.lit(1))
-            .when(a["cw"] < b["cw"], F.lit(-1))
-            .when(a["cw"] > b["cw"], F.lit(1))
-            .otherwise(F.lit(0)),
-        ),
-        0,
-    )
+    best = _pq_best()
     assigned = sub.crossJoin(F.broadcast(cb_row)).select(
         F.col("m").cast("long").alias("subspace"),
         best["cw"].cast("long").alias("codeword"),
@@ -1301,4 +1329,155 @@ def ann_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_sq_dist"),
         )
         .orderBy("subspace", "codeword")
+    )
+
+
+_SQL_IVF_COS = (
+    "list_dot_product(v, cv2) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv2, cv2)))"
+)
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH {_PQ_SQL_CTES},
+    cflat AS (
+        SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM vecs
+    ),
+    cdims AS (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM cflat GROUP BY label, i
+    ),
+    cents AS (
+        SELECT label AS c_label, list(cx ORDER BY i) AS cv2
+        FROM cdims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_SQL_IVF_COS} DESC, c_label) AS crank
+        FROM vecs CROSS JOIN cents
+    ),
+    bucketed AS (SELECT vec_id, c_label AS bucket FROM assigned WHERE crank = 1),
+    codes AS (
+        SELECT vec_id, m, cw AS code FROM (
+            SELECT s.vec_id, s.m, c.cw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_SQL_PQ_D2.format(s='s.sv', c='c.cv')} ASC, c.cw
+                   ) AS rnk
+            FROM sub s JOIN cb c ON s.m = c.m
+        ) WHERE rnk = 1
+    ),
+    dt AS (
+        SELECT s.vec_id AS query_id, s.m, c.cw,
+               {_SQL_PQ_D2.format(s='s.sv', c='c.cv')} AS d2
+        FROM sub s JOIN cb c ON s.m = c.m
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, bucket FROM bucketed WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT p.query_id, b.vec_id
+        FROM probes p JOIN bucketed b
+          ON p.bucket = b.bucket AND b.vec_id != p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(dt.d2 AS DECIMAL(27,12))) AS DOUBLE) AS adc
+        FROM cand c
+        JOIN codes co ON c.vec_id = co.vec_id
+        JOIN dt ON dt.query_id = c.query_id AND dt.m = co.m AND dt.cw = co.code
+        GROUP BY c.query_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, neighbor_id) AS BIGINT) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance search (the Jégou et al. IVFADC
+    composition, the index layout production vector stores actually
+    deploy at 100 TB): the corpus lives as 8 PQ codeword ids per
+    vector (32× compression); a query probes its IVF bucket and scores
+    candidates by table lookup — per (query, subspace, codeword)
+    squared distances are precomputed ONCE into a distance table, so
+    scoring a candidate is M integer lookups + a sum, never a 64-d
+    float fold.
+
+    Scale shape: bucket assignment and code assignment are map-side
+    against broadcast centroid/codebook arrays (corpus never shuffles
+    for either; assignment table persisted across the probe and
+    candidate uses); the distance table is queries × M × K rows —
+    broadcast; the candidate join shuffles bucket ids only; the ADC
+    sum is a decimal aggregation over constant-M rows per candidate
+    (order-free, cross-engine exact). Ranking ties break on
+    neighbor_id (rule: full unique tiebreaker)."""
+    vec = _vectors(spark, sf_dir)
+    with_c = vec.crossJoin(
+        F.broadcast(_centroid_array(_label_centroids(vec)))
+    ).withColumn("nv", l2_norm(F.col("v")))
+    bucketed = track_persist(
+        with_c.select(
+            "vec_id", F.get(_nearest_centroids(1), 0)["c_label"].alias("bucket")
+        )
+    )
+    sub = _pq_sub(vec)
+    cb = _pq_codebook(sub)
+    cb_row = cb.agg(
+        F.array_sort(F.collect_list(F.struct("cm", "cw", "cv", "c2"))).alias("cbs")
+    )
+    best = _pq_best()
+    codes = sub.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id", "m", best["cw"].alias("code")
+    )
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("qm"), "sv"
+    )
+    d2 = (
+        dot_product(F.col("sv"), F.col("sv"))
+        - F.lit(2.0) * dot_product(F.col("sv"), F.col("cv"))
+        + F.col("c2")
+    )
+    dt = qsub.join(cb, F.col("qm") == F.col("cm")).select(
+        "query_id", F.col("qm").alias("dm"), "cw", d2.alias("d2")
+    )
+    probes = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    joined = cand.join(codes, "vec_id").join(
+        F.broadcast(dt),
+        (dt["query_id"] == cand["query_id"])
+        & (F.col("dm") == F.col("m"))
+        & (F.col("cw") == F.col("code")),
+    )
+    adc = joined.groupBy(cand["query_id"].alias("query_id"), "vec_id").agg(
+        F.sum(dt["d2"].cast("decimal(27,12)")).cast("double").alias("adc")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc", 6).alias("adc"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )

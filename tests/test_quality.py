@@ -101,3 +101,43 @@ def test_pq_codebook_partitions_and_distortion(spark):
         assert grp.n_assigned.sum() == n
     assert out.subspace.nunique() == similarity.PQ_SUBSPACES
     assert (out.avg_sq_dist >= 0).all()
+
+
+def test_pmi_collocations_consistency(spark):
+    out = quality.text_pmi_collocations(spark, SF_CORRECT).toPandas()
+    assert (out.c_xy >= quality.PMI_MIN_COUNT).all()
+    assert len(out) > 0
+    # PMI is bounded above by -log2 P(xy) (= log2(T_bi / c_xy))
+    import numpy as np
+
+    tb = None  # recompute total bigrams from the corpus
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    n_docs = docs.count()
+    tb = n_tokens - n_docs  # bigrams per doc = tokens - 1
+    assert (out.pmi <= np.log2(tb / out.c_xy) + 1e-6).all()
+
+
+def test_attribution_partitions_purchases(spark):
+    from gresearch_parquet_benchmarking_spark.operators import analytics
+    from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+    out = analytics.event_attribution_last_touch(spark, SF_CORRECT).toPandas()
+    ev = load_events(spark, SF_CORRECT)
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert out.n_purchases.sum() == n_purch
+    assert set(out.channel) <= {"view", "click", "none"}
+    attributed = out[out.channel != "none"]
+    assert (attributed.avg_lag_us <= analytics.ATTR_WINDOW_US).all()
+    assert (attributed.avg_lag_us > 0).all()
+
+
+def test_ivf_pq_ranks_and_self_exclusion(spark):
+    out = similarity.ann_ivf_pq_topk(spark, SF_CORRECT).toPandas()
+    assert (out.neighbor_id != out.query_id).all()
+    assert (out.adc >= -1e-9).all()  # squared distances
+    for _, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        # adc non-decreasing with rank
+        assert (grp.adc.diff().dropna() >= -1e-9).all()

@@ -34,6 +34,9 @@ MUST_BE_IN_WINDOW = [
     "embedding_dim_covariance",
     "embedding_whitening",
     "ann_pq_codebook",
+    "ann_ivf_pq_topk",
+    "text_pmi_collocations",
+    "event_attribution_last_touch",
     # changed in round 5 (distributed prefix sum, NaN-safe centroid
     # comparator, kmeans persist, funnel zero guards, overlap oracle
     # ordering)
@@ -58,9 +61,8 @@ MUST_BE_IN_WINDOW = [
     "text_contamination_overlap",  # pipeline: r1/r2
     "text_redact_blocklist",
     "sample_stratified_by_lang",
-    "multimodal_binary_meta",     # multimodal: r3 (rest of the module
-    # displaced by the 7 new r5 queries — new-never-checked beats
-    # stale-but-green)
+    # (multimodal — r3-green — is fully displaced by the 10 new r5
+    # queries: new-never-checked beats stale-but-green)
     "dedup_connected_components",  # graph: r3
     # displaced: pipeline2, events_stream, dedup, advanced, scale — all
     # fresh r4-green and untouched in r5 (except the
