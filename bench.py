@@ -79,6 +79,18 @@ HEADLINE = [
     "interval_overlap_users",
 ]
 
+# Measured like HEADLINE (floors, history, bench_full.json) but kept
+# OUT of the printed compact line — the driver tail capture is ~2000
+# bytes and the headline set already fills it (COMPACT_IO_KEYS note).
+FULL_ONLY_QUERIES = [
+    "ann_ivf_pq_topk",
+    "dedup_minhash_calibration",
+    "embedding_dim_covariance",
+    "curriculum_buckets_approx",
+    "text_pmi_collocations",
+    "event_attribution_last_touch",
+]
+
 # io/scale rows the printed one-liner retains (the BASELINE.md
 # comparison grid); everything else still lands in
 # bench_results/bench_full.json. See the tail-capture note in main().
@@ -244,7 +256,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     queries = all_queries()
     out: dict[str, float] = {}
     sfx = _sf_hist_suffix(sf_dir)
-    for name in HEADLINE:
+    for name in HEADLINE + FULL_ONLY_QUERIES:
         fn = queries[name]
         measured(
             out, name, lambda: _run_query_once(fn, spark, sf_dir), stat=med,
@@ -599,7 +611,11 @@ def main() -> None:
         results.update(bench_scale(spark, sf_dir))
 
     _save_history()
-    total = round(sum(results.values()), 4)
+    # headline metric stays comparable across rounds: the full-only
+    # tier is measured and recorded but not part of the total
+    total = round(
+        sum(v for k, v in results.items() if k not in FULL_ONLY_QUERIES), 4
+    )
     payload = {
         "metric": "headline_queries_plus_io_median_total",
         "value": total,
