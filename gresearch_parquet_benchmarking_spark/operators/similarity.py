@@ -52,6 +52,33 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", to_double_array("embedding").alias("v"))
 
 
+def _vectors_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_vectors, repartitioned when the scan has fewer splits than
+    cores (dedup._corpus rationale): queries that EXPAND each vector
+    by O(d²) rows (dim covariance) would otherwise pin the whole
+    expansion to the single task a small embeddings file produces. At
+    real scale the corpus arrives in thousands of splits and this is a
+    no-op; the repartition ships (vec_id, label, 64 doubles) rows,
+    never the expansion."""
+    import math
+    import os
+
+    vec = _vectors(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    splits = 0
+    for f in vec.inputFiles():
+        local = f.removeprefix("file:")
+        try:
+            size = os.path.getsize(local)
+        except OSError:
+            size = max_split  # non-local fs: assume one full split
+        splits += max(1, math.ceil(size / max_split))
+    if splits < max(par // 2, 2):
+        vec = vec.repartition(par)
+    return vec
+
+
 @query(
     "embedding_norms",
     oracle="""
@@ -1039,28 +1066,29 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and E[x] are decimal-accumulated; cov = exy − mx·my is IEEE on
     deterministic doubles. At much higher d, cap pairs to a
     top-variance subset first (same shape, fewer keys)."""
-    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    vec = _vectors_spread(spark, sf_dir).select("vec_id", "v")
     flat = vec.select(F.posexplode("v").alias("i", "x"))
     means = flat.groupBy("i").agg(
         (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))).alias("mx")
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("v"),
-                lambda x, i: F.transform(
-                    F.col("v"),
-                    lambda y, j: F.struct(
-                        i.alias("i"), j.alias("j"), (x * y).alias("xy")
-                    ),
-                ),
-            )
+    # upper-triangle outer product via two chained Generates: explode
+    # dim i, then explode the suffix slice v[i..] — builds exactly
+    # d(d+1)/2 rows per vector with no intermediate struct array (the
+    # first cut built d² structs in-row and filtered; 2.6× slower at
+    # sf0.1)
+    upper = vec.select("v", F.posexplode("v").alias("i", "x")).select(
+        "i",
+        "x",
+        F.posexplode(F.slice(F.col("v"), F.col("i") + 1, F.size("v"))).alias(
+            "k", "y"
         ),
-        lambda s: s["i"] <= s["j"],
     )
     exy = (
-        vec.select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.xy")
+        upper.select(
+            "i",
+            (F.col("i") + F.col("k")).alias("j"),
+            (F.col("x") * F.col("y")).alias("xy"),
+        )
         .groupBy("i", "j")
         .agg(
             (
