@@ -136,7 +136,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot/(qn*n2) is the same IEEE tree as the inline cosine (bit-
     # identical), but each of the |corpus| x |queries| pairs costs one
     # dot fold instead of three
-    vec = _vectors(spark, sf_dir).withColumn("n2", l2_norm(F.col("v")))
+    vec = _vectors_spread(spark, sf_dir).withColumn("n2", l2_norm(F.col("v")))
     queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -301,7 +301,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     the candidate join shuffles on the bucket id only, and nprobe
     multiplies only the (tiny) probe side of the join — corpus vectors
     are never replicated."""
-    vec = _vectors(spark, sf_dir)
+    vec = _vectors_spread(spark, sf_dir)
 
     # the single-row centroid array appears in both the bucket and the
     # probe subtree; the identical BroadcastExchange is deduplicated by
@@ -479,7 +479,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is pure map-side arithmetic; the candidate join is an
     equi-join on the bucket id. Complements ann_ivf_topk (IVF needs a
     centroid pass; LSH is data-independent)."""
-    vec = _vectors(spark, sf_dir)
+    vec = _vectors_spread(spark, sf_dir)
     bucketed = vec.select(
         "vec_id", "v", l2_norm(F.col("v")).alias("n2"), _lsh_bucket_col().alias("bucket")
     )
@@ -541,7 +541,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant cluster at 100 TB; the bucket join's shuffle key is the
     constant-width bucket id and bucket sizes concentrate around
     corpus/256, so no unbounded per-block cross product exists."""
-    vec = _vectors(spark, sf_dir)
+    vec = _vectors_spread(spark, sf_dir)
     bucketed = vec.select(
         "vec_id", "v", l2_norm(F.col("v")).alias("n2"), _lsh_bucket_col().alias("bucket")
     )
@@ -963,7 +963,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, assignment is map-side, and the pair join shuffles on the
     constant-width cluster id only — the same no-all-pairs contract as
     dedup_minhash_lsh, with semantic rather than lexical similarity."""
-    vec = _vectors(spark, sf_dir)
+    vec = _vectors_spread(spark, sf_dir)
 
     # same map-side assignment as the IVF path: broadcast centroid
     # array, in-row argmax — no corpus shuffle
@@ -1335,7 +1335,7 @@ def ann_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-accumulated; d² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩ is the identical
     IEEE tree on both engines (sequential in-row folds); ties break to
     the lowest codeword."""
-    vec = _vectors(spark, sf_dir)
+    vec = _vectors_spread(spark, sf_dir)
     sub = _pq_sub(vec)
     cb_row = _pq_codebook(sub).agg(
         F.array_sort(F.collect_list(F.struct("cm", "cw", "cv", "c2"))).alias("cbs")
