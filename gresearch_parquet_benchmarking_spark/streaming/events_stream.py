@@ -533,3 +533,72 @@ def stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(agg, "complete")
     return out.orderBy("bucket")
+
+
+@query(
+    "stream_funnel_stateful",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS v
+        FROM e
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= v THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS c
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= c THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS p
+        FROM w2
+    ),
+    u AS (
+        SELECT user_id, MAX(v) AS v, MAX(c) AS c, MAX(p) AS p
+        FROM w3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(v) AS n_view,
+           COUNT(c) AS n_click_after_view,
+           COUNT(p) AS n_purchase_after_click,
+           ROUND(COUNT(c) * 1.0 / NULLIF(COUNT(v), 0), 6) AS view_to_click,
+           ROUND(COUNT(p) * 1.0 / NULLIF(COUNT(c), 0), 6) AS click_to_purchase
+    FROM u
+    """,
+)
+def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel as a CUSTOM STATEFUL streaming operator
+    (streaming/stateful_funnel.py, applyInPandasWithState): per-user
+    stage timestamps live in hash-partitioned state across
+    micro-batches; the oracle is the batch funnel
+    (operators/analytics.py) — streaming and batch must agree exactly
+    under the harness's ordered delivery. State is three BIGINTs per
+    user (constant width); the final rollup aggregates the
+    materialized per-user stage table with the funnel's zero-guarded
+    rate expressions."""
+    from gresearch_parquet_benchmarking_spark.streaming.stateful_funnel import (
+        streaming_funnel,
+    )
+
+    ev = _read_event_stream(spark, sf_dir)
+    out = _run_to_table(streaming_funnel(ev), "update", state_partitions=8)
+    # update-mode memory sink keeps every emitted row; stages only
+    # advance, so MAX per user is the final state
+    users = out.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    n = F.count(F.lit(1))
+    nv, nc, np_ = F.count("v"), F.count("c"), F.count("p")
+    v2c = F.when(nv > 0, F.round(nc.cast("double") / nv, 6))
+    c2p = F.when(nc > 0, F.round(np_.cast("double") / nc, 6))
+    return users.agg(
+        n.alias("n_users"),
+        nv.alias("n_view"),
+        nc.alias("n_click_after_view"),
+        np_.alias("n_purchase_after_click"),
+        v2c.alias("view_to_click"),
+        c2p.alias("click_to_purchase"),
+    )
