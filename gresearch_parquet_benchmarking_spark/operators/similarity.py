@@ -1509,3 +1509,57 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _pq_recall_oracle() -> str:
+    """Recall@k of the IVF-PQ (ADC) path against brute-force ground
+    truth, composed from both paths' own oracle SQL (the _recall_oracle
+    pattern)."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import ORACLE_SQL
+
+    bf = ORACLE_SQL["ann_topk_bruteforce"]
+    pq = ORACLE_SQL["ann_ivf_pq_topk"]
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
+    pq AS (SELECT query_id, neighbor_id FROM ({pq}) t)
+    SELECT b.query_id AS query_id,
+           COUNT(*) AS n_true,
+           SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM bf b
+    LEFT JOIN pq p
+      ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@query("ann_ivf_pq_recall", oracle=_pq_recall_oracle)
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ (ADC) search vs exact brute force, per
+    query — completes the per-index quality tables (IVF: ann_ivf_recall,
+    LSH: ann_lsh_recall): the number that prices PQ's 32× compression
+    in lost recall and decides codebook size / nprobe at deployment.
+    Composes the existing pipelines; the hit test is a tiny
+    (query_id, neighbor_id) equi-join."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = (
+        ann_ivf_pq_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

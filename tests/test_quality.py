@@ -141,3 +141,13 @@ def test_ivf_pq_ranks_and_self_exclusion(spark):
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         # adc non-decreasing with rank
         assert (grp.adc.diff().dropna() >= -1e-9).all()
+
+
+def test_ivf_pq_recall_bounded_and_populated(spark):
+    out = similarity.ann_ivf_pq_recall(spark, SF_CORRECT).toPandas()
+    assert len(out) == similarity.N_QUERIES
+    assert (out.n_true == similarity.TOP_K).all()
+    assert (out.recall.between(0.0, 1.0)).all()
+    # PQ quantization loses some recall but the bucketed candidates
+    # must not collapse to noise on this corpus
+    assert out.recall.mean() >= 0.3, out

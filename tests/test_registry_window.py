@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = [
     "embedding_whitening",
     "ann_pq_codebook",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_recall",
     "text_pmi_collocations",
     "event_attribution_last_touch",
     # changed in round 5 (distributed prefix sum, NaN-safe centroid
