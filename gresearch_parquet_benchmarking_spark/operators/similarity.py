@@ -1201,16 +1201,24 @@ PQ_SUB_DIM = 8  # 64-d / PQ_SUBSPACES
 # Shared SQL CTE chain for the PQ family (ann_pq_codebook,
 # ann_ivf_pq_topk): corpus → subvectors → per-(subspace, label)
 # codebooks. DuckDB list slice is 1-based end-INCLUSIVE (CLAUDE.md
-# rule 5).
-_PQ_SQL_CTES = f"""
+# rule 5). ``src`` names the vector CTE the chain splits — "vecs"
+# (raw) for the codebook-distortion query, "vecs_n" (unit-normalized,
+# spherical PQ) for the ADC search whose ground truth is cosine.
+def _pq_sql_ctes(src: str = "vecs") -> str:
+    return f"""
     vecs AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
+    vecs_n AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+        FROM vecs
+    ),
     sub AS (
         SELECT vec_id, label, m,
                v[m * {PQ_SUB_DIM} + 1 : m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
-        FROM vecs CROSS JOIN (SELECT unnest(range(0, {PQ_SUBSPACES})) AS m)
+        FROM {src} CROSS JOIN (SELECT unnest(range(0, {PQ_SUBSPACES})) AS m)
     ),
     flat AS (
         SELECT label, m, generate_subscripts(sv, 1) AS i, unnest(sv) AS x FROM sub
@@ -1224,6 +1232,9 @@ _PQ_SQL_CTES = f"""
         SELECT m, label AS cw, list(cx ORDER BY i) AS cv
         FROM dims GROUP BY m, label
     )"""
+
+
+_PQ_SQL_CTES = _pq_sql_ctes()
 
 # d²(s, c) = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩ — the same IEEE tree as the Spark
 # side's dot_product folds
@@ -1369,7 +1380,7 @@ _SQL_IVF_COS = (
 @query(
     "ann_ivf_pq_topk",
     oracle=f"""
-    WITH {_PQ_SQL_CTES},
+    WITH {_pq_sql_ctes('vecs_n')},
     cflat AS (
         SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS x
         FROM vecs
@@ -1460,7 +1471,18 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.get(_nearest_centroids(1), 0)["c_label"].alias("bucket")
         )
     )
-    sub = _pq_sub(vec)
+    # spherical PQ: encode UNIT vectors, so ADC's squared L2 is
+    # 2 − 2·cos — monotone in the cosine the ground truth ranks by
+    # (raw-vector L2 would rank by a different metric; measured recall
+    # 0.14 vs cosine truth before this normalization). The per-element
+    # division mirrors the oracle's x / sqrt(list_dot_product(v, v))
+    # exactly.
+    vecn = vec.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v"),
+    )
+    sub = _pq_sub(vecn)
     cb = _pq_codebook(sub)
     cb_row = cb.agg(
         F.array_sort(F.collect_list(F.struct("cm", "cw", "cv", "c2"))).alias("cbs")

@@ -143,11 +143,17 @@ def test_ivf_pq_ranks_and_self_exclusion(spark):
         assert (grp.adc.diff().dropna() >= -1e-9).all()
 
 
-def test_ivf_pq_recall_bounded_and_populated(spark):
+def test_ivf_pq_recall_bounded_by_ivf_ceiling(spark):
+    """PQ searches the SAME nprobe=1 candidate set as exact-cosine IVF,
+    so per query its hits cannot exceed IVF@1's (the index ceiling —
+    0.18 mean on this near-random corpus); ADC quantization must still
+    retain most of that attainable recall."""
     out = similarity.ann_ivf_pq_recall(spark, SF_CORRECT).toPandas()
+    ivf = similarity.ann_ivf_recall(spark, SF_CORRECT).toPandas()
+    ivf1 = ivf[ivf.nprobe == 1].set_index("query_id")
     assert len(out) == similarity.N_QUERIES
     assert (out.n_true == similarity.TOP_K).all()
     assert (out.recall.between(0.0, 1.0)).all()
-    # PQ quantization loses some recall but the bucketed candidates
-    # must not collapse to noise on this corpus
-    assert out.recall.mean() >= 0.3, out
+    for r in out.itertuples():
+        assert r.n_hits <= ivf1.loc[r.query_id].n_hits, (r, ivf1)
+    assert out.n_hits.sum() >= 0.5 * ivf1.n_hits.sum(), (out, ivf1)
