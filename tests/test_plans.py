@@ -245,3 +245,49 @@ def test_semantic_dedup_assignment_is_map_side(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(vec_id" not in plan, plan
+
+
+def test_attribution_single_user_exchange(spark):
+    """Both carried-forward last-touch windows share one
+    (user_id, ts_us, event_id) spec — the plan must hash-partition on
+    user_id exactly once (window reuse), the funnel/sessionization
+    single-exchange contract."""
+    import re
+
+    from gresearch_parquet_benchmarking_spark.operators import analytics
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(analytics.event_attribution_last_touch(spark, SF_SMOKE))
+    # formatted mode puts "Exchange" and its arguments on separate lines
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert "Python" not in plan
+
+
+def test_pmi_text_never_shuffled(spark):
+    """Bigrams and unigrams collapse to (token(s), count) BEFORE any
+    exchange — document text crossing the wire is the 100 TB killer."""
+    from gresearch_parquet_benchmarking_spark.operators import quality
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(quality.text_pmi_collocations(spark, SF_SMOKE))
+    blocks = [b for b in plan.split("\n\n") if "Exchange" in b]
+    assert blocks, plan
+    assert all("text#" not in b for b in blocks), blocks
+    assert "Python" not in plan
+
+
+def test_covariance_expansion_aggregated_before_hash_exchange(spark):
+    """The d(d+1)/2-per-row expansion must partial-aggregate map-side:
+    no HASH exchange may carry the vector column (the only exchange
+    allowed to ship vectors is the conditional round-robin spread of
+    the raw scan)."""
+    from gresearch_parquet_benchmarking_spark.operators import similarity
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(similarity.embedding_dim_covariance(spark, SF_SMOKE))
+    blocks = [
+        b for b in plan.split("\n\n") if "Exchange" in b and "hashpartitioning(" in b
+    ]
+    assert blocks, plan
+    assert all("v#" not in b for b in blocks), blocks
+    assert "Python" not in plan
