@@ -202,9 +202,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape = dedup_minhash_lsh: signatures persisted (they feed
     the band join and both sides of the verification join), candidates
     meet only inside (band, k1, k2) buckets, exact Jaccard touches
-    candidates only. Shingle arrays ride along the signature table —
-    at 100 TB the verification join ships shingles only for candidate
-    doc_ids, never the corpus."""
+    candidate PAIRS only — nothing quadratic. The verification join's
+    shuffle key is doc_id; the candidate side is a small fraction of
+    the corpus (band-collision rate), so AQE broadcasts it and the
+    signature table filters map-side — and if candidates outgrow
+    broadcast at extreme scale, the join degrades to a doc_id SMJ, not
+    an all-pairs product."""
     corpus = _corpus(spark, sf_dir, "neardup")
     sig = track_persist(
         corpus.select("doc_id", _shingles(tokens_col("text")).alias("shingles"))

@@ -1152,10 +1152,13 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the d-row (μ, σ) table collapses to a single-row
     sorted array and broadcasts (the _centroid_array trick) — the
-    transform is pure map-side in-row arithmetic; the corpus is
-    scanned once and never shuffled. Determinism: μ/σ² are
-    decimal-accumulated; per-element (x−μ)/σ is IEEE; norms fold
-    sequentially in-row on both engines (list_dot_product twin)."""
+    transform is pure map-side in-row arithmetic. The corpus is
+    scanned twice (once for the stats, once for the transform) but
+    never shuffled: the stats aggregation partial-combines map-side,
+    so only d keys × decimal accumulators cross the wire. Determinism:
+    μ/σ² are decimal-accumulated; per-element (x−μ)/σ is IEEE; norms
+    fold sequentially in-row on both engines (list_dot_product
+    twin)."""
     vec = _vectors(spark, sf_dir).select("vec_id", "v")
     flat = vec.select(F.posexplode("v").alias("i", "x"))
     st = (
