@@ -20,7 +20,11 @@ from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
     norm_fingerprint_col,
     tokens_col,
 )
-from gresearch_parquet_benchmarking_spark.operators.registry import query, sql_davg
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    query,
+    sql_davg,
+    track_persist,
+)
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
 # Per-language marker tokens for the n-gram/stopword language-ID
@@ -375,4 +379,126 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "token", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
+    )
+
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {WINNOW_K}
+                    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN range(1, GREATEST(len(t) - 1, 1))]
+                    ELSE [] END AS gs
+        FROM toks
+    ),
+    hs AS (
+        SELECT doc_id, gs,
+               list_transform(gs, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hv
+        FROM grams
+    ),
+    wins AS (
+        SELECT doc_id, gs,
+               CASE WHEN len(hv) >= {WINNOW_W}
+                    THEN list_distinct([list_min(hv[j : j + {WINNOW_W - 1}])
+                                        FOR j IN range(1, GREATEST(len(hv) - {WINNOW_W - 2}, 1))])
+                    ELSE [] END AS fps
+        FROM hs
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM wins),
+    cnt AS (SELECT f, COUNT(*) AS nd FROM fp GROUP BY f),
+    per AS (
+        SELECT fp.doc_id,
+               COUNT(*) AS n_fp,
+               CAST(SUM(CASE WHEN cnt.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM fp JOIN cnt USING (f) GROUP BY fp.doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.gs) AS BIGINT) AS n_grams,
+           COALESCE(per.n_fp, 0) AS n_fp,
+           COALESCE(per.n_shared, 0) AS n_shared
+    FROM wins w LEFT JOIN per ON w.doc_id = per.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every token {WINNOW_K}-gram, slide a {WINNOW_W}-hash window
+    and keep each window's minimum — the selected minima are the
+    document's fingerprint set, with the winnowing guarantee that any
+    shared run of {WINNOW_W}+{WINNOW_K}-1 tokens yields at least one
+    shared fingerprint. Reports per doc the gram count, the distinct
+    fingerprint count (selection density ≈ 2/(w+1)), and how many of
+    its fingerprints appear in other documents — the local-similarity
+    signal exact/minhash dedup misses.
+
+    Scale shape: gram hashing and window minima are pure in-row HOFs
+    (map-side, codegen); the only shuffle keys are constant-width
+    32-bit fingerprints (groupBy with partial counts) and doc_id for
+    the join back — document text never crosses an exchange."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    n = F.size(t)
+    grams_raw = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - WINNOW_K, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
+        ),
+    )
+    grams = F.when(n >= WINNOW_K, grams_raw).otherwise(
+        F.array().cast("array<string>")
+    )
+    hv = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+    )
+    # persist boundary: without it Catalyst collapses the projections
+    # and INLINES the whole md5-gram-hash expression into every one of
+    # the ~|doc| sliding-window slices below — measured 56 s instead
+    # of 0.6 s at sf0.01. The cached relation materializes (gs, hv)
+    # once per doc; the window minima then read plain columns.
+    base = track_persist(
+        doc.select("doc_id", grams.alias("gs"), hv.alias("hv"))
+    ).withColumn(
+        "fps",
+        F.when(
+            F.size("hv") >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("hv") - WINNOW_W, F.lit(-1))
+                    ),
+                    lambda j: F.array_min(F.slice(F.col("hv"), j + 1, WINNOW_W)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    fp = base.select("doc_id", F.explode("fps").alias("f"))
+    cnt = fp.groupBy("f").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        fp.join(cnt, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_fp"), F.lit(0)).alias("n_fp"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        )
+        .orderBy("doc_id")
     )

@@ -157,3 +157,19 @@ def test_ivf_pq_recall_bounded_by_ivf_ceiling(spark):
     for r in out.itertuples():
         assert r.n_hits <= ivf1.loc[r.query_id].n_hits, (r, ivf1)
     assert out.n_hits.sum() >= 0.5 * ivf1.n_hits.sum(), (out, ivf1)
+
+
+def test_winnowing_invariants(spark):
+    from gresearch_parquet_benchmarking_spark.operators import text
+
+    out = text.text_winnowing_fingerprints(spark, SF_CORRECT).toPandas()
+    # a doc with g grams has g - W + 1 windows; distinct minima can't
+    # exceed that, and shared can't exceed selected
+    win_cap = (out.n_grams - text.WINNOW_W + 1).clip(lower=0)
+    assert (out.n_fp <= win_cap).all()
+    assert (out.n_shared <= out.n_fp).all()
+    # winnowing density ~ 2/(w+1): long docs must select >1 fingerprint
+    long_docs = out[out.n_grams >= 20]
+    assert (long_docs.n_fp > 1).all()
+    # common phrases exist in a natural-language-ish corpus
+    assert out.n_shared.sum() > 0
