@@ -89,6 +89,10 @@ FULL_ONLY_QUERIES = [
     "curriculum_buckets_approx",
     "text_pmi_collocations",
     "event_attribution_last_touch",
+    "text_winnowing_fingerprints",
+    "quality_vs_dup_lift",
+    "ann_pq_codebook",
+    "stream_funnel_stateful",
 ]
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
