@@ -1588,3 +1588,161 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component: matrix-free power iteration (round 5)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+EMB_DIM = 64
+
+
+def _pca_sql() -> str:
+    """DuckDB twin of the unrolled power iteration — generated by the
+    same Python loop as the Spark builder (the kmeans-oracle pattern),
+    so iteration count and expression trees can never drift."""
+    inv_sqrt_d = f"(1.0 / sqrt({EMB_DIM}.0))"
+    parts = [
+        f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM vecs
+    ),
+    means AS (
+        SELECT i, CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+        FROM flat GROUP BY i
+    ),
+    mu AS (SELECT list(mx ORDER BY i) AS mu FROM means),
+    cvecs AS (
+        SELECT vec_id, [v[k] - mu[k] FOR k IN range(1, len(v) + 1)] AS c
+        FROM vecs CROSS JOIN mu
+    ),
+    v_0 AS (SELECT [{inv_sqrt_d} FOR k IN range(1, {EMB_DIM} + 1)] AS vt)"""
+    ]
+    for it in range(PCA_ITERS):
+        parts.append(
+            f""",
+    y_{it} AS (
+        SELECT i,
+               CAST(SUM(CAST(s * c[i + 1] AS DECIMAL(27,12))) AS DOUBLE) AS y
+        FROM (
+            SELECT c, list_dot_product(c, vt) AS s
+            FROM cvecs CROSS JOIN v_{it}
+        ) CROSS JOIN (SELECT unnest(range(0, {EMB_DIM})) AS i)
+        GROUP BY i
+    ),
+    v_{it + 1} AS (
+        SELECT list(y / sqrt(n2) ORDER BY i) AS vt
+        FROM y_{it} CROSS JOIN (
+            SELECT SUM(y * y) AS n2 FROM y_{it}
+        )
+    )"""
+        )
+    last = PCA_ITERS
+    parts.append(
+        f""",
+    eig AS (
+        SELECT CAST(SUM(CAST(list_dot_product(c, vt) * list_dot_product(c, vt)
+                             AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS eigenvalue
+        FROM cvecs CROSS JOIN v_{last}
+    )
+    SELECT CAST(i AS BIGINT) AS i,
+           ROUND(vt[i + 1], 6) AS loading,
+           ROUND(eigenvalue, 4) AS eigenvalue
+    FROM (SELECT unnest(range(0, {EMB_DIM})) AS i)
+         CROSS JOIN v_{last} CROSS JOIN eig
+    ORDER BY i
+    """
+    )
+    return "".join(parts)
+
+
+@query("embedding_pca_power_iteration", oracle=_pca_sql)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by MATRIX-FREE
+    power iteration: v ← normalize(Σ_rows ⟨c, v⟩·c) for PCA_ITERS
+    rounds over mean-centered vectors — the d×d covariance matrix is
+    never materialized, so the same code runs at any d. Emits the
+    64 loadings plus the Rayleigh-quotient eigenvalue (top explained
+    variance) — the anisotropy/collapse diagnostic an embedding
+    pipeline tracks (and the first step of the whitening rotation
+    embedding_whitening's diagonal scaling approximates).
+
+    Scale shape per iteration: the current direction is a broadcast
+    single-row array; ⟨c, v⟩ and the per-row contribution s·c_j are
+    map-side in-row folds; the only shuffle is a d-key decimal
+    aggregation (map-side partial). The corpus is persisted centered
+    once (track_persist) — the Lloyd-loop contract of kmeans_train.
+    Determinism: per-dim sums are decimal-accumulated; dots fold
+    in-row on both engines; v0 = 1/√d is sign-deterministic."""
+    vec = _vectors_spread(spark, sf_dir).select("vec_id", "v")
+    flat = vec.select(F.posexplode("v").alias("i", "x"))
+    means = flat.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mx")
+    )
+    mu_row = means.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("mus")
+    )
+    centered = track_persist(
+        vec.crossJoin(F.broadcast(mu_row)).select(
+            "vec_id",
+            F.transform(
+                F.col("v"), lambda x, i: x - F.get(F.col("mus"), i)["mx"]
+            ).alias("c"),
+        )
+    )
+    # v0 = 1/sqrt(d) everywhere (sign-deterministic start)
+    vt_row = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+            lambda _: F.lit(1.0) / F.sqrt(F.lit(float(EMB_DIM))),
+        ).alias("vt")
+    )
+    for _ in range(PCA_ITERS):
+        s = dot_product(F.col("c"), F.col("vt"))
+        contrib = centered.crossJoin(F.broadcast(vt_row)).select(
+            F.posexplode(
+                F.transform(F.col("c"), lambda cj: s * cj)
+            ).alias("i", "sc")
+        )
+        y = contrib.groupBy("i").agg(
+            F.sum(F.col("sc").cast("decimal(27,12)")).cast("double").alias("y")
+        )
+        n2 = y.agg(F.sum(F.col("y") * F.col("y")).alias("n2"))
+        vt_row = (
+            y.crossJoin(F.broadcast(n2))
+            .groupBy()
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", (F.col("y") / F.sqrt("n2")).alias("u")))
+                ).alias("pairs")
+            )
+            .select(F.transform("pairs", lambda p: p["u"]).alias("vt"))
+        )
+    # Rayleigh quotient: mean squared projection on the final direction
+    proj = centered.crossJoin(F.broadcast(vt_row)).select(
+        (dot_product(F.col("c"), F.col("vt")) ** 2).alias("p2")
+    )
+    eig = proj.agg(
+        (
+            F.sum(F.col("p2").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("eigenvalue")
+    )
+    return (
+        vt_row.select(F.posexplode("vt").alias("i", "loading"))
+        .crossJoin(F.broadcast(eig))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.round("loading", 6).alias("loading"),
+            F.round("eigenvalue", 4).alias("eigenvalue"),
+        )
+        .orderBy("i")
+    )

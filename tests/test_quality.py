@@ -173,3 +173,24 @@ def test_winnowing_invariants(spark):
     assert (long_docs.n_fp > 1).all()
     # common phrases exist in a natural-language-ish corpus
     assert out.n_shared.sum() > 0
+
+
+def test_pca_power_iteration_invariants(spark):
+    import numpy as np
+
+    out = similarity.embedding_pca_power_iteration(spark, SF_CORRECT).toPandas()
+    assert len(out) == similarity.EMB_DIM
+    v = out.sort_values("i").loading.to_numpy()
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit direction
+    eig = out.eigenvalue.iloc[0]
+    assert (out.eigenvalue == eig).all()
+    # Rayleigh quotient of a unit vector lies within the covariance
+    # spectrum; compare against numpy's exact eigenvalues
+    emb = load_table(spark, SF_CORRECT, "embeddings").toPandas()
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    lams = np.linalg.eigvalsh(C)
+    assert lams[0] - 1e-9 <= eig <= lams[-1] + 1e-9
+    # power iteration monotonically improves on the start direction
+    v0 = np.full(similarity.EMB_DIM, 1.0 / np.sqrt(similarity.EMB_DIM))
+    assert eig >= float(v0 @ C @ v0) - 1e-9
