@@ -93,6 +93,7 @@ FULL_ONLY_QUERIES = [
     "quality_vs_dup_lift",
     "ann_pq_codebook",
     "stream_funnel_stateful",
+    "embedding_pca_power_iteration",
 ]
 
 # io/scale rows the printed one-liner retains (the BASELINE.md

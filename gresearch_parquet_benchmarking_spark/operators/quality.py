@@ -471,3 +471,76 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c_xy", F.round(pmi, 6).alias("pmi"))
         .orderBy("w1", "w2")
     )
+
+
+@query(
+    "bigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    doc_bg AS (
+        SELECT doc_id,
+               UNNEST([t[i] FOR i IN range(1, len(t))]) AS w1,
+               UNNEST([t[i+1] FOR i IN range(1, len(t))]) AS w2
+        FROM toks
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM doc_bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM bg GROUP BY w1)
+    SELECT d.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(log2(CAST(bg.c_xy AS DOUBLE)
+                                          / CAST(ctx.c_x AS DOUBLE)), 9)
+                               AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logprob
+    FROM doc_bg d
+    JOIN bg ON d.w1 = bg.w1 AND d.w2 = bg.w2
+    JOIN ctx ON d.w1 = ctx.w1
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score: per-document average conditional
+    log2-probability log2(c(w1 w2) / c(w1 ·)) under the corpus's own
+    bigram model — one LM order deeper than unigram_logprob_score (a
+    doc of common words in UNUSUAL order now scores low, which the
+    unigram model cannot see). Per-token log terms are rounded to 9 dp
+    and DECIMAL-accumulated (the unigram/entropy determinism
+    treatment); the context denominator is the bigram table's own
+    marginal, so probabilities per context sum exactly to 1.
+
+    Scale shape: bigram counting shuffles (w1, w2, partial-count) with
+    map-side combine; the scoring joins ship constant-width count
+    pairs keyed by Zipf-skewed tokens — AQE skew-join posture, vocab
+    side is one row per (bi)gram. Document text never crosses an
+    exchange."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bg = track_persist(
+        doc.select("doc_id", F.explode(pairs).alias("p")).select(
+            "doc_id", "p.w1", "p.w2"
+        )
+    )
+    bg = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    ctx = bg.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    term = F.round(
+        F.log2(F.col("c_xy").cast("double") / F.col("c_x").cast("double")), 9
+    ).cast("decimal(27,9)")
+    return (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -194,3 +194,23 @@ def test_pca_power_iteration_invariants(spark):
     # power iteration monotonically improves on the start direction
     v0 = np.full(similarity.EMB_DIM, 1.0 / np.sqrt(similarity.EMB_DIM))
     assert eig >= float(v0 @ C @ v0) - 1e-9
+
+
+def test_bigram_logprob_consistency(spark):
+    """Conditional bigram probabilities sum to 1 per context, so every
+    per-bigram logprob is <= 0 and a doc of pure repetition ('a a a')
+    would score 0; corpus docs must land strictly below."""
+    out = quality.bigram_logprob_score(spark, SF_CORRECT).toPandas()
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    assert (out.avg_logprob <= 1e-9).all()
+    assert (out.avg_logprob < 0).any()
+    # every doc's bigram count = tokens - 1
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert all(r.n_bigrams == n_tok[r.doc_id] - 1 for r in out.itertuples())

@@ -38,6 +38,7 @@ MUST_BE_IN_WINDOW = [
     "ann_ivf_pq_recall",
     "embedding_pca_power_iteration",
     "text_pmi_collocations",
+    "bigram_logprob_score",
     "event_attribution_last_touch",
     # changed in round 5 (distributed prefix sum, NaN-safe centroid
     # comparator, kmeans persist, funnel zero guards, overlap oracle
@@ -56,11 +57,10 @@ MUST_BE_IN_WINDOW = [
     "sketch_bloom_membership",
     "sketch_countmin_freq",
     "text_token_stats",           # text: r2 (the module's tail —
-    # fingerprint onward — is displaced by the 15 new r5 queries:
+    # langid onward — is displaced by the 16 new r5 queries:
     # new-never-checked beats stale-but-green)
     "text_term_frequency",
     "text_quality_score",
-    "text_langid",
     "text_contamination_overlap",  # pipeline: r1/r2
     "text_redact_blocklist",
     "sample_stratified_by_lang",
