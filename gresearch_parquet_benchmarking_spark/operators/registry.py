@@ -120,17 +120,22 @@ def _ensure_loaded() -> None:
     # pipeline (8 — dedup_chunk_boilerplate never checked, rest
     # r1/r2-stale) + pipeline3 (6 — the r5 distributed
     # sequence_packing rewrite + new curriculum_buckets_approx) +
-    # graph (1 — r3) + quality (4 — brand-new r5 module: langid
+    # graph (1 — r3) + quality (5 — brand-new r5 module: langid
     # confusion, minhash calibration, quality-vs-dup lift, PMI
-    # collocations) + similarity (15 — r5 NaN-comparator + kmeans
-    # persist edits, plus new dim-covariance / whitening / PQ codebook
-    # / IVF-PQ search) + text's first 6 (stalest big module, r2) = 50.
+    # collocations, bigram-LM scoring) + similarity (17 — r5
+    # NaN-comparator + kmeans persist edits, plus new dim-covariance /
+    # whitening / PCA power iteration / PQ codebook / IVF-PQ search +
+    # recall) + text's first 3 (stalest big module, r2) = 50.
     # Displaced: pipeline2, events_stream, dedup, advanced, scale,
-    # report, multimodal — ALL fresh r4/r3-green and (except the
-    # behavior-preserving NaN branch shared by stream_centroid_assign)
-    # untouched in r5; fresh-green needs no repeat, never-checked and
-    # stale-signal do. Everything outside the window stays pinned by
-    # the local full-registry gate (scripts_dev/check_queries.py).
+    # report, multimodal, text's tail — ALL fresh r4/r3-green or
+    # r2-stale-but-green and (except the behavior-preserving NaN
+    # branch shared by stream_centroid_assign) untouched in r5;
+    # fresh-green needs no repeat, never-checked and stale-signal do.
+    # The two r5 additions that did NOT fit the window
+    # (stream_funnel_stateful, text_winnowing_fingerprints) lead the
+    # r6 rotation (CLAUDE.md). Everything outside the window stays
+    # pinned by the local full-registry gate
+    # (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,
