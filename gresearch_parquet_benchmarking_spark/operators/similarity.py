@@ -1716,7 +1716,11 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("sc").cast("decimal(27,12)")).cast("double").alias("y")
         )
         n2 = y.agg(F.sum(F.col("y") * F.col("y")).alias("n2"))
-        vt_row = (
+        # persist the ONE-ROW direction: without it each iteration's
+        # broadcast stage re-runs every earlier iteration's corpus
+        # aggregation through vt's lineage (the kmeans-lineage lesson;
+        # measured 5.4 s -> ~2 s at sf0.1). d doubles per round — free.
+        vt_row = track_persist(
             y.crossJoin(F.broadcast(n2))
             .groupBy()
             .agg(
