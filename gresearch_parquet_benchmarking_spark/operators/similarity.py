@@ -1486,7 +1486,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v"),
     )
     sub = _pq_sub(vecn)
-    cb = _pq_codebook(sub)
+    # persist the 80-row codebook: it feeds BOTH the broadcast argmin
+    # array and the query distance table — without the persist the
+    # corpus-wide codebook aggregation runs once per consumer
+    cb = track_persist(_pq_codebook(sub))
     cb_row = cb.agg(
         F.array_sort(F.collect_list(F.struct("cm", "cw", "cv", "c2"))).alias("cbs")
     )
