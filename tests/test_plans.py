@@ -291,3 +291,18 @@ def test_covariance_expansion_aggregated_before_hash_exchange(spark):
     assert blocks, plan
     assert all("v#" not in b for b in blocks), blocks
     assert "Python" not in plan
+
+
+def test_vectors_spread_repartitions_single_split_scan(spark):
+    """The embeddings file is one input split at test scale, so
+    _vectors_spread must inject a round-robin repartition ahead of
+    per-row-heavy pipelines (and would be a no-op on a many-split
+    corpus — the conditional is split-count-based, not unconditional)."""
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(similarity._vectors_spread(spark, SF_SMOKE))
+    assert "roundrobin" in plan.lower(), plan
+    # plain loader stays repartition-free (the dedup_exact lesson:
+    # never round-robin text/vector payloads without downstream need)
+    plain = formatted_plan(similarity._vectors(spark, SF_SMOKE))
+    assert "roundrobin" not in plain.lower(), plain
