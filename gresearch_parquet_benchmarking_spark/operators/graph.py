@@ -152,3 +152,96 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SPLIT_TRAIN_PCT = 90
+
+
+def _split_sql() -> str:
+    from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
+        sql_md5_hash64,
+    )
+
+    side_h = sql_md5_hash64("CAST(COALESCE(component, doc_id) AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE {comp_ctes_sql()},
+    sided AS (
+        SELECT c.doc_id, comp.component,
+               CASE WHEN {side_h} % 100 < {SPLIT_TRAIN_PCT}
+                    THEN 'train' ELSE 'eval' END AS side
+        FROM corpus c LEFT JOIN comp ON c.doc_id = comp.node
+    ),
+    clean AS (
+        SELECT COALESCE(MAX(ns), 1) = 1 AS split_clean FROM (
+            SELECT component, COUNT(DISTINCT side) AS ns
+            FROM sided WHERE component IS NOT NULL GROUP BY component
+        )
+    )
+    SELECT side,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clustered,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+           (SELECT split_clean FROM clean) AS split_clean
+    FROM sided
+    GROUP BY side
+    ORDER BY side
+    """
+
+
+@query("split_contamination_safe", oracle=_split_sql)
+def split_contamination_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware train/eval split: documents are assigned
+    90/10 by md5 hash — but the hash is taken over the NEAR-DUP
+    CLUSTER representative (connected components over the MinHash-LSH
+    pairs), so an entire cluster always lands on one side and a
+    training document can never leak an eval document's near-copy
+    (the gap a naive per-doc hash split leaves open). Reports per-side
+    doc/cluster accounting plus a mechanically-verified
+    ``split_clean`` boolean (no component spans both sides) — TRUE by
+    construction, asserted from the data rather than assumed.
+
+    Scale shape: clusters come from the iterative label-propagation
+    components (bounded LSH candidate graph, per-round persists); the
+    split itself is a map-side hash over the component label and the
+    final rollup shuffles two side keys. Deterministic: md5-based
+    side assignment (never rand()), cluster labels are min-doc_id."""
+    from gresearch_parquet_benchmarking_spark.functions.text_funcs import md5_hash64
+    from gresearch_parquet_benchmarking_spark.operators.dedup import (
+        _corpus,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    corpus = _corpus(spark, sf_dir, "neardup", spread=False).select("doc_id")
+    labeled = corpus.join(
+        comp, corpus["doc_id"] == comp["node"], "left"
+    ).select("doc_id", "component")
+    anchor = F.coalesce(F.col("component"), F.col("doc_id"))
+    side = F.when(
+        md5_hash64(anchor.cast("string")) % 100 < SPLIT_TRAIN_PCT, "train"
+    ).otherwise("eval")
+    sided = labeled.select("doc_id", "component", side.alias("side"))
+    clean = (
+        sided.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.count_distinct("side").alias("ns"))
+        .agg(
+            (F.coalesce(F.max("ns"), F.lit(1)) == 1).alias("split_clean")
+        )
+    )
+    return (
+        sided.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("component").isNotNull(), 1).otherwise(0)).alias(
+                "n_clustered"
+            ),
+            F.count_distinct("component").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(clean))
+        .orderBy("side")
+    )

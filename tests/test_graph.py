@@ -36,3 +36,30 @@ def test_dedup_clusters_over_planted_pairs(spark):
         orig = copy_id - dedup.INJECT_OFFSET
         assert rep[copy_id] == rep.get(orig, rep[copy_id]), (copy_id, orig)
     assert (out.cluster_size >= 2).all()
+
+
+def test_contamination_safe_split_keeps_clusters_together(spark):
+    """Every planted near-dup pair (doc, doc + offset) must land on the
+    SAME split side; the aggregate split_clean flag must be TRUE; the
+    90/10 proportions must be roughly respected."""
+    from conftest import SF_CORRECT
+
+    from pyspark.sql import functions as F
+
+    from gresearch_parquet_benchmarking_spark.functions.text_funcs import md5_hash64
+    from gresearch_parquet_benchmarking_spark.operators import dedup, graph
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        release_persists,
+    )
+
+    out = graph.split_contamination_safe(spark, SF_CORRECT).toPandas()
+    release_persists()
+    assert set(out.side) == {"train", "eval"}
+    assert out.split_clean.all()
+    train = out[out.side == "train"].n_docs.iloc[0]
+    total = out.n_docs.sum()
+    assert 0.8 <= train / total <= 0.97  # hash split, cluster-granular
+    # clustered docs exist on at least one side (planting guarantees
+    # near-dup pairs), and per-side cluster counts are consistent
+    assert out.n_clustered.sum() > 0
+    assert (out.n_clusters <= out.n_clustered).all()

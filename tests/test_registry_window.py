@@ -40,6 +40,7 @@ MUST_BE_IN_WINDOW = [
     "text_pmi_collocations",
     "bigram_logprob_score",
     "event_attribution_last_touch",
+    "split_contamination_safe",
     # changed in round 5 (distributed prefix sum, NaN-safe centroid
     # comparator, kmeans persist, funnel zero guards, overlap oracle
     # ordering)
@@ -57,10 +58,9 @@ MUST_BE_IN_WINDOW = [
     "sketch_bloom_membership",
     "sketch_countmin_freq",
     "text_token_stats",           # text: r2 (the module's tail —
-    # langid onward — is displaced by the 16 new r5 queries:
+    # quality_score onward — is displaced by the 17 new r5 queries:
     # new-never-checked beats stale-but-green)
     "text_term_frequency",
-    "text_quality_score",
     "text_contamination_overlap",  # pipeline: r1/r2
     "text_redact_blocklist",
     "sample_stratified_by_lang",
