@@ -77,13 +77,17 @@ HEADLINE = [
     "event_funnel_conversion",
     "cohort_retention",
     "interval_overlap_users",
+    # r6: promoted from the full-only tier (VERDICT r5 #7) — the two
+    # most expensive r5 operators now get driver-visible history.
+    # Adds ~4 s to the headline total vs r5; noted in BENCH.md.
+    "ann_ivf_pq_topk",
+    "stream_funnel_stateful",
 ]
 
 # Measured like HEADLINE (floors, history, bench_full.json) but kept
 # OUT of the printed compact line — the driver tail capture is ~2000
 # bytes and the headline set already fills it (COMPACT_IO_KEYS note).
 FULL_ONLY_QUERIES = [
-    "ann_ivf_pq_topk",
     "dedup_minhash_calibration",
     "embedding_dim_covariance",
     "curriculum_buckets_approx",
@@ -92,9 +96,15 @@ FULL_ONLY_QUERIES = [
     "text_winnowing_fingerprints",
     "quality_vs_dup_lift",
     "ann_pq_codebook",
-    "stream_funnel_stateful",
     "embedding_pca_power_iteration",
 ]
+
+# Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are
+# measured + recorded but excluded from the headline total (they are
+# layout-evidence diagnostics, not comparable workload rows — the
+# 1-row-group pageread row would otherwise silently inflate the
+# round-over-round metric; ADVICE r5 #2).
+FULL_ONLY_PREFIXES = ("io_pageread_task_1rg_",)
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
 # comparison grid); everything else still lands in
@@ -619,7 +629,12 @@ def main() -> None:
     # headline metric stays comparable across rounds: the full-only
     # tier is measured and recorded but not part of the total
     total = round(
-        sum(v for k, v in results.items() if k not in FULL_ONLY_QUERIES), 4
+        sum(
+            v
+            for k, v in results.items()
+            if k not in FULL_ONLY_QUERIES and not k.startswith(FULL_ONLY_PREFIXES)
+        ),
+        4,
     )
     payload = {
         "metric": "headline_queries_plus_io_median_total",

@@ -64,8 +64,21 @@ def query(
 # correctness sweep snapshots the FIRST 50 entries of all_queries(),
 # so this ranking — not Python import order, which any direct module
 # import can perturb — decides which queries get hard driver signal.
-# Round-4 window rationale: see _ensure_loaded.
+# Round-6 window rationale: see _ensure_loaded.
 _MODULE_ORDER = [
+    "streaming.events_stream",
+    "operators.text",
+    "operators.report",
+    "operators.multimodal",
+    "operators.profile",
+    "operators.relational2",
+    "operators.relational",
+    # ---- the 50-entry window cut lands 11 entries into relational ----
+    "operators.tpch2",
+    "operators.dedup",
+    "operators.advanced",
+    "operators.scale",
+    "operators.pipeline2",
     "operators.analytics",
     "operators.sketches",
     "operators.pipeline",
@@ -73,18 +86,6 @@ _MODULE_ORDER = [
     "operators.graph",
     "operators.quality",
     "operators.similarity",
-    "operators.text",
-    "operators.multimodal",
-    "operators.report",
-    "streaming.events_stream",
-    "operators.dedup",
-    "operators.advanced",
-    "operators.scale",
-    "operators.pipeline2",
-    "operators.profile",
-    "operators.tpch2",
-    "operators.relational",
-    "operators.relational2",
 ]
 _PKG = "gresearch_parquet_benchmarking_spark"
 _MODULE_RANK = {f"{_PKG}.{m}": i for i, m in enumerate(_MODULE_ORDER)}
@@ -110,31 +111,28 @@ def all_oracle_sql() -> dict[str, str]:
 
 
 def _ensure_loaded() -> None:
-    # Import for registration side effects; idempotent.
+    # Import for registration side effects; idempotent. (The window is
+    # decided by _MODULE_ORDER, not import order — imports here only
+    # trigger registration.)
     #
-    # Registration ORDER is deliberate: the driver's correctness sweep
-    # snapshots only the first 50 registrations per round. Round-5
-    # window (the r4 VERDICT's directive): analytics (5 — 4 never
-    # driver-checked + new attribution) + sketches (5 —
-    # sketch_hll_rolling_users never checked, rest r2-stale) +
-    # pipeline (8 — dedup_chunk_boilerplate never checked, rest
-    # r1/r2-stale) + pipeline3 (6 — the r5 distributed
-    # sequence_packing rewrite + new curriculum_buckets_approx) +
-    # graph (1 — r3) + quality (5 — brand-new r5 module: langid
-    # confusion, minhash calibration, quality-vs-dup lift, PMI
-    # collocations, bigram-LM scoring) + similarity (17 — r5
-    # NaN-comparator + kmeans persist edits, plus new dim-covariance /
-    # whitening / PCA power iteration / PQ codebook / IVF-PQ search +
-    # recall) + text's first 3 (stalest big module, r2) = 50.
-    # Displaced: pipeline2, events_stream, dedup, advanced, scale,
-    # report, multimodal, text's tail — ALL fresh r4/r3-green or
-    # r2-stale-but-green and (except the behavior-preserving NaN
-    # branch shared by stream_centroid_assign) untouched in r5;
-    # fresh-green needs no repeat, never-checked and stale-signal do.
-    # The two r5 additions that did NOT fit the window
-    # (stream_funnel_stateful, text_winnowing_fingerprints) lead the
-    # r6 rotation (CLAUDE.md). Everything outside the window stays
-    # pinned by the local full-registry gate
+    # Round-6 window (r5 VERDICT "Next round" #1, refined by measured
+    # per-module driver-signal staleness from CORRECTNESS_r01..r05):
+    # events_stream (8 — stream_funnel_stateful has ZERO lifetime
+    # driver signal; rest r4) + text (9 — text_winnowing_fingerprints
+    # has ZERO lifetime signal; rest r3/r5) + report (6 — r3) +
+    # multimodal (5 — r3) + profile (1 — r2) + relational2 (10 — r1,
+    # stalest) + relational's first 11 (r1, stalest + biggest) = 50.
+    # This deviates from the raw CLAUDE.md r5 note (which listed
+    # dedup/advanced/pipeline2/scale next) because those modules are
+    # r4-green — only 2 rounds stale — while relational/relational2
+    # (45 queries at r1) and profile (r2) are 4–5 rounds stale; the
+    # note predates the staleness audit. Displaced r5-green modules
+    # (analytics, sketches, pipeline, pipeline3, graph, quality,
+    # similarity) fall to the tail: fresh-green needs no repeat.
+    # r7 rotation plan: relational's remaining 26 + tpch2 (8, r3) +
+    # dedup/advanced/scale/pipeline2 head the next window; update
+    # tests/test_registry_window.py when rotating. Everything outside
+    # the window stays pinned by the local full-registry gate
     # (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,

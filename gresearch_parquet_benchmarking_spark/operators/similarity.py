@@ -1641,7 +1641,8 @@ def _pca_sql() -> str:
     v_{it + 1} AS (
         SELECT list(y / sqrt(n2) ORDER BY i) AS vt
         FROM y_{it} CROSS JOIN (
-            SELECT SUM(y * y) AS n2 FROM y_{it}
+            SELECT CAST(SUM(CAST(y * y AS DECIMAL(27,12))) AS DOUBLE) AS n2
+            FROM y_{it}
         )
     )"""
         )
@@ -1718,7 +1719,14 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         y = contrib.groupBy("i").agg(
             F.sum(F.col("sc").cast("decimal(27,12)")).cast("double").alias("y")
         )
-        n2 = y.agg(F.sum(F.col("y") * F.col("y")).alias("n2"))
+        # decimal-accumulate the norm too (rule 1): a plain double SUM
+        # is order-dependent and would propagate through 3 iterations
+        # into the rounded loadings — a latent hash-gate flake.
+        n2 = y.agg(
+            F.sum((F.col("y") * F.col("y")).cast("decimal(27,12)"))
+            .cast("double")
+            .alias("n2")
+        )
         # persist the ONE-ROW direction: without it each iteration's
         # broadcast stage re-runs every earlier iteration's corpus
         # aggregation through vt's lineage (the kmeans-lineage lesson;

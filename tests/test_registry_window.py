@@ -14,67 +14,77 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-5 window (VERDICT r4 "Next round" #1): the six queries no
-# driver round ever checked, every query whose code changed in r5, and
-# the text/multimodal/pipeline/sketches modules whose driver signal has
-# been stale since r1–r3.
+# Round-6 window (VERDICT r5 "Next round" #1, refined by the measured
+# per-module staleness audit — see registry._ensure_loaded): the two
+# queries with ZERO lifetime driver signal, then the stalest driver
+# signal first (relational/relational2 r1, profile r2, report/
+# multimodal/text-tail r3).
 MUST_BE_IN_WINDOW = [
-    # never driver-checked before round 5 (late-r4 additions)
-    "event_funnel_conversion",
-    "cohort_retention",
-    "events_sliding_active_users",
-    "interval_overlap_users",
-    "sketch_hll_rolling_users",
-    "dedup_chunk_boilerplate",
-    # brand-new in round 5
-    "curriculum_buckets_approx",
-    "text_langid_confusion",
-    "dedup_minhash_calibration",
-    "quality_vs_dup_lift",
-    "embedding_dim_covariance",
-    "embedding_whitening",
-    "ann_pq_codebook",
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq_recall",
-    "embedding_pca_power_iteration",
-    "text_pmi_collocations",
-    "bigram_logprob_score",
-    "event_attribution_last_touch",
-    "split_contamination_safe",
-    # changed in round 5 (distributed prefix sum, NaN-safe centroid
-    # comparator, kmeans persist, funnel zero guards, overlap oracle
-    # ordering)
-    "sequence_packing",
-    "curriculum_deciles",
-    "kmeans_train",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe2",
-    "ann_ivf_recall",
-    "dedup_semantic",
-    "kmeans_reassign_matrix",
-    # stale driver signal — whole modules now in-window
-    "sketch_kmv_distinct",        # sketches: r2
-    "sketch_hll_distinct",
-    "sketch_bloom_membership",
-    "sketch_countmin_freq",
-    "text_token_stats",           # text: r2 (the module's tail —
-    # quality_score onward — is displaced by the 17 new r5 queries:
-    # new-never-checked beats stale-but-green)
-    "text_term_frequency",
-    "text_contamination_overlap",  # pipeline: r1/r2
-    "text_redact_blocklist",
-    "sample_stratified_by_lang",
-    # (multimodal — r3-green — is fully displaced by the 10 new r5
-    # queries: new-never-checked beats stale-but-green)
-    "dedup_connected_components",  # graph: r3
-    # displaced: pipeline2, events_stream, dedup, advanced, scale — all
-    # fresh r4-green and untouched in r5 (except the
-    # behavior-preserving NaN branch stream_centroid_assign shares);
-    # fresh-green needs no repeat, all stay under the local gate
+    # ZERO lifetime driver signal (the round's hard requirement)
+    "stream_funnel_stateful",
+    "text_winnowing_fingerprints",
+    # events_stream — rest r4-green, rides along with the funnel
+    "stream_hourly_counts",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_dedup_incremental",
+    "stream_centroid_assign",
+    # text — tail r3-stale
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "doc_stats_by_lang_source",
+    "text_subword_tokens",
+    "text_tfidf_top_terms",
+    # report — r3-stale
+    "json_extract_events",
+    "events_by_day",
+    "events_pivot_by_type",
+    "sessionization",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    # multimodal — r3-stale
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_by_kind",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # profile — r2-stale
+    "profile_lineitem_columns",
+    # relational2 — r1-stale (stalest whole module)
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "merge_upsert_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "q2_cheapest_per_brand",
+    "q4_priority_with_big_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q21_multi_supplier_orders",
+    # relational — r1-stale, first 11 of 37 fit; remainder heads r7
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_cross_small",
+    "window_rank_in_brand",
+    # displaced: analytics/sketches/pipeline/pipeline3/graph/quality/
+    # similarity — all fresh r5-green (fresh-green needs no repeat);
+    # dedup/advanced/scale/pipeline2/tpch2 (r3/r4) head the r7 window
+    # together with relational's remaining 26.
 ]
 
 
-def test_round5_window_composition():
+def test_round6_window_composition():
     names = list(all_queries())
     window = set(names[:WINDOW])
     missing = [n for n in MUST_BE_IN_WINDOW if n not in window]
