@@ -130,6 +130,7 @@ def _compact_line(results: dict) -> tuple[dict, str]:
         "unit": "sec",
         "sf": 0.1,
         "contention_suspects": [],
+        "drift_vs_floor": 123.456,  # worst-case width
         "full": "bench_results/bench_full.json",
     }
     keep = [k for k in results if k in bench.HEADLINE or k in bench.COMPACT_IO_KEYS]
@@ -152,6 +153,26 @@ def test_compact_line_fits_driver_tail_capture():
     assert len(line) <= bench.TAIL_BUDGET
     # headline queries survive any trimming
     assert all(k in compact["queries"] for k in bench.HEADLINE)
+
+
+def test_drift_ratio_collection():
+    """measured() records fresh/floor ratios for floored entries (and
+    skips sub-20ms floors where timer noise dominates) — the feed for
+    the drift_vs_floor artifact field that makes a uniform sub-3x
+    host-warmth tax (the r5 drift cluster) visible."""
+    bench.HISTORY.clear()
+    bench.DRIFT_RATIOS.clear()
+    out = {}
+    bench.measured(out, "a", lambda: 1.2, trials=1, warmups=0, stat=bench.med)
+    assert bench.DRIFT_RATIOS == []  # no floor yet
+    bench.HISTORY["b"] = 1.0
+    bench.measured(out, "b", lambda: 1.2, trials=1, warmups=0, stat=bench.med)
+    bench.HISTORY["c"] = 0.01  # below DRIFT_MIN_FLOOR
+    bench.measured(out, "c", lambda: 0.012, trials=1, warmups=0, stat=bench.med)
+    assert len(bench.DRIFT_RATIOS) == 1
+    assert abs(bench.DRIFT_RATIOS[0] - 1.2) < 1e-9
+    bench.HISTORY.clear()
+    bench.DRIFT_RATIOS.clear()
 
 
 def test_sf_history_suffix_isolates_non_default_sf():
