@@ -50,9 +50,15 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
 PACK_BUDGET = 256          # tokens per packed context window
-RANGE_DOCS = 128           # docs per prefix-sum range partition; scale
+RANGE_DOCS = 1024          # docs per prefix-sum range partition; scale
                            # with corpus size so the per-range total
-                           # table stays small relative to the corpus
+                           # table stays small relative to the corpus.
+                           # r6 A/B at sf0.1 (interleaved, 5 trials):
+                           # 128 → 0.67 s, 1024 → 0.50 s, 8192 → 0.48 s
+                           # — per-range overhead dominates below ~1k
+                           # docs/range; 1024 keeps ~60 ranges at test
+                           # SF (still exercises the two-pass path)
+                           # while 8192 would leave ~8
 SPLIT_PCT = 80             # % of docs in the standing corpus; rest = new batch
 PLANT_EVERY = 25           # plant a duplicate of every k-th doc (see dedup.py)
 _P1_OFFSET = 1_000_000     # planted batch copies of corpus docs
@@ -102,16 +108,27 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges are contiguous in (lang, doc_id) order, so
     ``off = base_off(lang, rid) + local prefix within (lang, rid)``
     is exactly the single-window answer, but the widest window
-    partition holds RANGE_DOCS docs instead of a whole language. The
-    base-offset join carries no broadcast hint (CLAUDE.md rule 10):
-    if AQE shuffles it instead, the join's (lang, rid) partitioning is
-    the same one the pass-2 window needs, so the doc rows still cross
-    the wire exactly once."""
+    partition holds RANGE_DOCS docs instead of a whole language.
+
+    Shape (r6 tune, VERDICT r5 #3): the local window runs FIRST, so
+    the corpus crosses the wire once — the (lang, rid) exchange the
+    window needs — and the base-offset join then attaches a
+    metadata-sized completed stage that AQE turns into a broadcast (no
+    hint, CLAUDE.md rule 10; at extreme scale it falls back to a
+    shuffle that reuses the window's partitioning). Joining BEFORE the
+    window instead forces a sort-merge barrier between the two corpus
+    branches — measured 0.61 s vs 0.48 s at sf0.1 (interleaved A/B).
+    With RANGE_DOCS 128→1024 this recovers most of the r5 0.27→0.51 s
+    two-pass regression; the residual ~0.2 s vs the single-window r4
+    shape is the price of bounding the widest window partition, pinned
+    as accepted-by-design in BENCH.md."""
     doc = load_table(spark, sf_dir, "documents")
     # persisted: the tokenize-and-count projection feeds BOTH passes
     # (per-range totals and the local window) — without it the corpus
     # is tokenized twice. Constant-width rows (doc_id, lang, n_tok,
-    # rid); text itself is never retained or shuffled.
+    # rid); text itself is never retained or shuffled. (At sf0.1 the
+    # persist is cost-neutral vs double tokenization; at 100 TB it
+    # avoids a second full text scan.)
     base = track_persist(
         doc.select(
             "doc_id",
@@ -120,6 +137,13 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"doc_id div {RANGE_DOCS}").alias("rid"),
         )
     )
+    # pass 2 window first: local prefix within (lang, rid)
+    wl = (
+        W.partitionBy("lang", "rid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = base.withColumn("loc", F.coalesce(F.sum("n_tok").over(wl), F.lit(0)))
     # pass 1: per-range totals (tiny), cumulative base offset per range.
     # The cumulative window partitions by lang over RANGE rows — a
     # metadata-sized table (corpus_rows / RANGE_DOCS), not the corpus.
@@ -130,18 +154,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("base_off", F.coalesce(F.sum("rtot").over(wr), F.lit(0)))
         .select("lang", "rid", "base_off")
     )
-    # pass 2: local prefix within (lang, rid) + the range's base offset
-    wl = (
-        W.partitionBy("lang", "rid")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
     binned = (
-        base.join(range_off, ["lang", "rid"])
-        .withColumn(
-            "off",
-            F.col("base_off") + F.coalesce(F.sum("n_tok").over(wl), F.lit(0)),
-        )
+        loc.join(range_off, ["lang", "rid"])
+        .withColumn("off", F.col("base_off") + F.col("loc"))
         .withColumn("bin", F.expr(f"off div {PACK_BUDGET}"))
         .withColumn("end_bin", F.expr(f"(off + n_tok - 1) div {PACK_BUDGET}"))
     )
