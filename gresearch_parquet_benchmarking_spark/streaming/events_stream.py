@@ -535,9 +535,7 @@ def stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bucket")
 
 
-@query(
-    "stream_funnel_stateful",
-    oracle="""
+_FUNNEL_ORACLE = """
     WITH e AS (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
     ),
@@ -567,8 +565,10 @@ def stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(COUNT(c) * 1.0 / NULLIF(COUNT(v), 0), 6) AS view_to_click,
            ROUND(COUNT(p) * 1.0 / NULLIF(COUNT(c), 0), 6) AS click_to_purchase
     FROM u
-    """,
-)
+    """
+
+
+@query("stream_funnel_stateful", oracle=_FUNNEL_ORACLE)
 def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The funnel as a CUSTOM STATEFUL streaming operator
     (streaming/stateful_funnel.py, applyInPandasWithState): per-user
@@ -585,6 +585,10 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read_event_stream(spark, sf_dir)
     out = _run_to_table(streaming_funnel(ev), "update", state_partitions=8)
+    return _funnel_rollup(out)
+
+
+def _funnel_rollup(out: DataFrame) -> DataFrame:
     # update-mode memory sink keeps every emitted row; stages only
     # advance, so MAX per user is the final state
     users = out.groupBy("user_id").agg(
@@ -602,3 +606,87 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         v2c.alias("view_to_click"),
         c2p.alias("click_to_purchase"),
     )
+
+
+# sentinel posture for the out-of-order funnel: a fixed far-future
+# event time (2100-01-01) advances the watermark past every real event
+# so buffered users flush; the delay below must exceed the events
+# table's time span so nothing real is ever late-dropped or sealed
+# before all of it arrived. A production deployment instead runs with
+# a delay sized to its real disorder (minutes) — the harness's
+# one-shot file replay has TOTAL disorder, so the delay must cover the
+# whole table.
+_OOO_SENTINEL_US = 4_102_444_800 * 1_000_000  # 2100-01-01 epoch µs
+_OOO_DELAY = "365 days"
+_OOO_FILES = 4
+
+
+@query("stream_funnel_buffered_ooo", oracle=_FUNNEL_ORACLE)
+def stream_funnel_buffered_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WATERMARK-BUFFERED funnel (streaming/stateful_funnel.py::
+    streaming_funnel_buffered) fed deliberately OUT-OF-ORDER input:
+    the events table is hash-split across _OOO_FILES staged files —
+    scattering every user's events across micro-batches in arbitrary
+    event-time order — and must still hash-match the ordered batch
+    oracle. This is the deployment contract the lean
+    stream_funnel_stateful documents but cannot honor (its divergence
+    on this exact delivery is pinned in test_streaming_stateful.py):
+    events buffer in per-user state until the watermark passes them,
+    then replay into the stage machine in event-time order; absent
+    users flush via event-time timeout when the sentinel batches
+    advance the watermark."""
+    import shutil
+    import tempfile
+
+    from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
+        md5_hash64,
+    )
+    from gresearch_parquet_benchmarking_spark.streaming.stateful_funnel import (
+        streaming_funnel_buffered,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(_events_schema(spark, sf_dir))
+        .parquet(table_path(sf_dir, "events"))
+    )
+    if isinstance(batch.schema["ts"].dataType, T.LongType):
+        batch = batch.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        batch = batch.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+    rows = batch.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        md5_hash64(F.concat_ws(":", "user_id", "ts_us")).alias("scatter"),
+    )
+    d = tempfile.mkdtemp(prefix="funnel_ooo_stage_")
+    try:
+        # ONE staging job: hash-repartition on the md5 scatter key so a
+        # user's events land across all _OOO_FILES part files in
+        # arbitrary event-time order. The files' relative replay order
+        # is irrelevant (any order is the point); only the sentinels
+        # must come last, which their later mtimes guarantee.
+        rows.repartition(_OOO_FILES, "scatter").drop("scatter").write.parquet(
+            f"{d}/b.parquet"
+        )
+        for j, off in ((1, 0), (2, 1_000_000)):
+            spark.createDataFrame(
+                [(-1, "view", _OOO_SENTINEL_US + off)],
+                "user_id long, event_type string, ts_us long",
+            ).coalesce(1).write.parquet(f"{d}/z{j}.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/*")
+        )
+        out = _run_to_table(
+            streaming_funnel_buffered(stream, _OOO_DELAY),
+            "update",
+            state_partitions=8,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return _funnel_rollup(out.filter(F.col("user_id") >= 0))

@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = [
     "stream_stream_join",
     "stream_dedup_incremental",
     "stream_centroid_assign",
+    "stream_funnel_buffered_ooo",  # r6-new: out-of-order buffered funnel
     # text — tail r3-stale
     "text_token_stats",
     "text_quality_score",
@@ -76,7 +77,9 @@ MUST_BE_IN_WINDOW = [
     "join_anti",
     "join_full_outer",
     "join_cross_small",
-    "window_rank_in_brand",
+    # (window_rank_in_brand fell to position 51 when r6's new
+    # stream_funnel_buffered_ooo entered the window head; it joins
+    # relational's remaining 27 at the r7 head)
     # displaced: analytics/sketches/pipeline/pipeline3/graph/quality/
     # similarity — all fresh r5-green (fresh-green needs no repeat);
     # dedup/advanced/scale/pipeline2/tpch2 (r3/r4) head the r7 window

@@ -128,3 +128,101 @@ def test_streaming_funnel_state_across_batches(spark, staged_funnel_batches):
     assert got[2] == (150, 400, None)
     # user 3: click before any view never counts
     assert got[3] == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order cross-batch arrival (VERDICT r5 #4): the lean funnel's
+# ordered contract breaks; the watermark-buffered variant does not.
+# ---------------------------------------------------------------------------
+
+_S = 1_000_000          # 1 second in µs
+_H = 3600 * _S          # 1 hour in µs
+
+
+@pytest.fixture()
+def staged_ooo_batches(spark):
+    """Events deliberately shuffled ACROSS micro-batches: user 2's
+    purchase arrives two batches before its view and click. z1/z2 are
+    far-future sentinel batches that advance the event-time watermark
+    past every real event so buffered users seal/flush."""
+    d = tempfile.mkdtemp(prefix="stream_funnel_ooo_")
+    rows = {
+        "b0": [(1, "click", 2 * _S), (1, "view", 1 * _S),
+               (2, "purchase", 5 * _S)],          # purchase FIRST
+        "b1": [(2, "view", 1 * _S), (2, "click", 3 * _S),
+               (1, "purchase", 3 * _S)],
+        "b2": [(3, "view", 1 * _S)],
+        "z1": [(99, "view", 2 * _H)],             # wm -> 2h - 1h = 1h
+        # z2's batch runs under the advanced watermark: user 1 (has
+        # input here) seals via the watermark path while its new event
+        # stays buffered; users 2/3 (absent) flush via event-time
+        # timeout
+        "z2": [(99, "view", 2 * _H + _S), (1, "view", 90 * 60 * _S)],
+    }
+    for name, data in rows.items():
+        spark.createDataFrame(
+            data, "user_id long, event_type string, ts_us long"
+        ).coalesce(1).write.parquet(f"{d}/{name}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drive_funnel(spark, path, build):
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path + "/*")
+    )
+    out = build(stream)
+    name = f"funnel_ooo_{tempfile.mkdtemp(prefix='').rsplit('/', 1)[-1]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_funnel_ooo_")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    import pyspark.sql.functions as F
+
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p"))
+        .collect()
+    )
+    return {r.user_id: (r.v, r.c, r.p) for r in final}
+
+
+def test_buffered_funnel_matches_batch_truth_on_ooo_input(
+    spark, staged_ooo_batches
+):
+    from gresearch_parquet_benchmarking_spark.streaming.stateful_funnel import (
+        streaming_funnel_buffered,
+    )
+
+    got = _drive_funnel(
+        spark, staged_ooo_batches, lambda s: streaming_funnel_buffered(s, "1 hour")
+    )
+    # ordered-batch ground truth despite the shuffled delivery
+    assert got[1] == (1 * _S, 2 * _S, 3 * _S)
+    assert got[2] == (1 * _S, 3 * _S, 5 * _S)   # purchase recovered
+    assert got[3] == (1 * _S, None, None)       # flushed purely by timeout
+
+
+def test_lean_funnel_diverges_on_ooo_input(spark, staged_ooo_batches):
+    """Pins the lean variant's documented ordered-arrival contract: on
+    the same shuffled delivery it LOSES user 2's early purchase — the
+    exact failure mode streaming_funnel_buffered exists to close."""
+    from gresearch_parquet_benchmarking_spark.streaming.stateful_funnel import (
+        streaming_funnel,
+    )
+
+    got = _drive_funnel(spark, staged_ooo_batches, streaming_funnel)
+    assert got[2] == (1 * _S, 3 * _S, None)     # purchase silently lost
