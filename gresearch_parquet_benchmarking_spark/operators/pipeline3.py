@@ -480,3 +480,115 @@ def curriculum_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (round 6): the mT5/UniMax recipe
+# ---------------------------------------------------------------------------
+
+MIX_TEMP_DENOM = 2      # τ = 1/2 → weight = sqrt(share); sqrt is IEEE
+                        # correctly-rounded, so both engines agree bitwise
+                        # (a fractional pow() would not be portable)
+_MIX_RES = 1_000_000    # hash-threshold resolution for the realized draw
+_SQL_MIX_H = f"{sql_md5_hash64('CAST(doc_id AS VARCHAR)')} % {_MIX_RES}"
+
+
+@query(
+    "mixture_temperature_sampling",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+               CAST(SUM(CAST(SQRT(n_docs) AS DECIMAL(27,12))) AS DOUBLE) AS w_sum
+        FROM per
+    ),
+    plan AS (
+        SELECT lang, n_docs,
+               ROUND(n_docs * 1.0 / n_all, 6) AS nat_share,
+               ROUND(SQRT(n_docs) / w_sum, 6) AS temp_share,
+               CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                                (SQRT(n_docs) / w_sum) * n_all / n_docs)
+                          * {_MIX_RES}) AS BIGINT) AS thr
+        FROM per, tot
+    ),
+    hashed AS (
+        SELECT lang, {_SQL_MIX_H} AS h FROM documents
+    ),
+    drawn AS (
+        SELECT hashed.lang, COUNT(*) AS n_sampled
+        FROM hashed JOIN plan ON hashed.lang = plan.lang AND hashed.h < plan.thr
+        GROUP BY hashed.lang
+    )
+    SELECT plan.lang, plan.n_docs, plan.nat_share, plan.temp_share,
+           ROUND(plan.thr * 1.0 / {_MIX_RES}, 6) AS sample_rate,
+           CAST(COALESCE(drawn.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM plan LEFT JOIN drawn ON plan.lang = drawn.lang
+    ORDER BY plan.lang
+    """,
+)
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (the mT5/PaLM recipe,
+    τ = 1/{MIX_TEMP_DENOM}): sampling weight w_l ∝ p_l^τ flattens the
+    natural language distribution toward low-resource languages.
+    Emits, per language, the natural share, the temperature share, the
+    resulting per-doc sampling rate (clamped at 1 — low-resource
+    languages saturate rather than upsample, the UniMax posture), and
+    the REALIZED sample count from a deterministic md5-threshold draw
+    (never rand(): reruns and cluster layouts reproduce bit-for-bit).
+    Complements mixture_rebalance (uniform char-budget equalization)
+    with the temperature knob an actual pretraining spec exposes.
+
+    Scale shape: two passes over a (lang, hash) projection — a
+    per-language count and a thresholded count, both map-side partial
+    aggregations on constant-width keys; the plan table (|langs| rows)
+    broadcasts for the threshold join. τ is applied via SQRT, which is
+    IEEE correctly-rounded on both engines; the cross-language weight
+    sum is decimal-accumulated (rule 1)."""
+    doc = load_table(spark, sf_dir, "documents")
+    per = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n_all"),
+        F.sum(F.sqrt(F.col("n_docs")).cast("decimal(27,12)"))
+        .cast("double")
+        .alias("w_sum"),
+    )
+    w = F.sqrt(F.col("n_docs"))
+    rate = F.least(
+        F.lit(1.0), (w / F.col("w_sum")) * F.col("n_all") / F.col("n_docs")
+    )
+    plan = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("n_all"), 6).alias(
+                "nat_share"
+            ),
+            F.round(w / F.col("w_sum"), 6).alias("temp_share"),
+            F.floor(rate * _MIX_RES).cast("long").alias("thr"),
+        )
+    )
+    hashed = doc.select(
+        "lang",
+        F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(_MIX_RES)).alias("h"),
+    )
+    drawn = (
+        hashed.join(F.broadcast(plan.select("lang", "thr")), "lang")
+        .filter(F.col("h") < F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        plan.join(drawn, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "nat_share",
+            "temp_share",
+            F.round(F.col("thr") * F.lit(1.0) / _MIX_RES, 6).alias("sample_rate"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

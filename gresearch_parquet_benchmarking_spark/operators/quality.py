@@ -544,3 +544,242 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality rules (round 6)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 2000
+GOPHER_WLEN_LO = 2.0     # mean word length bounds
+GOPHER_WLEN_HI = 12.0
+GOPHER_SYM_MAX = 0.1     # non-[a-z0-9 ] character share ceiling
+GOPHER_UNIQ_MIN = 0.5    # distinct-token ratio floor (dup-line analog)
+GOPHER_MIN_STOPS = 2     # distinct required stopwords present
+_GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is")
+_SQL_STOPS = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPS) + "]"
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(t) AS n_tok,
+               CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                   / len(t) AS mean_wlen,
+               CAST(len(s) - len(regexp_replace(s, '[^a-z0-9 ]', '', 'g'))
+                    AS DOUBLE) / len(s) AS sym_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+               len(list_intersect(list_distinct(t), {_SQL_STOPS})) AS n_stops
+        FROM (
+            SELECT lang, string_split(text, ' ') AS t, lower(text) AS s
+            FROM documents
+        )
+    ),
+    flags AS (
+        SELECT lang,
+               (n_tok BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS f_words,
+               (mean_wlen BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI}) AS f_wlen,
+               (sym_ratio <= {GOPHER_SYM_MAX}) AS f_symbol,
+               (uniq_ratio >= {GOPHER_UNIQ_MIN}) AS f_uniq,
+               (n_stops >= {GOPHER_MIN_STOPS}) AS f_stop
+        FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_words,
+           CAST(SUM(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+           CAST(SUM(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_symbol,
+           CAST(SUM(CASE WHEN f_uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_uniq,
+           CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopword,
+           CAST(SUM(CASE WHEN f_words AND f_wlen AND f_symbol AND f_uniq AND f_stop
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+           ROUND(SUM(CASE WHEN f_words AND f_wlen AND f_symbol AND f_uniq AND f_stop
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pass_rate
+    FROM flags
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition/quality filter battery (Rae et al. 2021,
+    §A1.1, adapted to this corpus's whitespace tokens): word-count
+    bounds, mean-word-length bounds, symbol-character ratio ceiling,
+    distinct-token ratio floor (the duplicate-lines analog for
+    line-less documents), and a minimum distinct-stopword requirement.
+    Reports per-language pass counts per rule plus the all-rules pass
+    rate — the dashboard a production filter stage ships with, and the
+    per-rule attribution needed to tune any single threshold.
+
+    Scale shape: every rule is a map-side in-row expression over the
+    token array; the only shuffle is the per-language count rollup
+    (constant-width keys, map-side partial aggregation). Document text
+    never crosses an exchange. All rule comparisons are on
+    integer-derived doubles (exact ratios of counts), so the booleans
+    are bit-deterministic across engines."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    s = F.lower(F.col("text"))
+    n = F.size(t)
+    mean_wlen = (
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .cast("double") / n
+    )
+    sym_ratio = (
+        (F.length(s) - F.length(F.regexp_replace(s, "[^a-z0-9 ]", ""))).cast("double")
+        / F.length(s)
+    )
+    uniq_ratio = F.size(F.array_distinct(t)).cast("double") / n
+    n_stops = F.size(
+        F.array_intersect(F.array_distinct(t), F.array(*[F.lit(x) for x in _GOPHER_STOPS]))
+    )
+    flags = doc.select(
+        "lang",
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("f_words"),
+        mean_wlen.between(GOPHER_WLEN_LO, GOPHER_WLEN_HI).alias("f_wlen"),
+        (sym_ratio <= GOPHER_SYM_MAX).alias("f_symbol"),
+        (uniq_ratio >= GOPHER_UNIQ_MIN).alias("f_uniq"),
+        (n_stops >= GOPHER_MIN_STOPS).alias("f_stop"),
+    )
+    def cnt(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+    all_pass = F.sum(
+        F.when(
+            F.col("f_words") & F.col("f_wlen") & F.col("f_symbol")
+            & F.col("f_uniq") & F.col("f_stop"),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("f_words").alias("n_pass_words"),
+            cnt("f_wlen").alias("n_pass_wordlen"),
+            cnt("f_symbol").alias("n_pass_symbol"),
+            cnt("f_uniq").alias("n_pass_uniq"),
+            cnt("f_stop").alias("n_pass_stopword"),
+            all_pass.cast("long").alias("n_pass_all"),
+            F.round(all_pass.cast("double") / F.count(F.lit(1)), 6).alias("pass_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty coverage (round 6): Lee et al.-style incremental novelty
+# ---------------------------------------------------------------------------
+
+NOVEL_K = 5  # tokens per novelty n-gram
+
+
+def _novelty_sql() -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(NOVEL_K)).replace(
+        "t[i+0]", "t[i]"
+    )
+    return f"""
+    WITH corpus AS ({_sql_corpus('exact')}),
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus),
+    grams AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(t) >= {NOVEL_K}
+                    THEN list_distinct([('0x' || substr(md5({gram}), 1, 8))::BIGINT
+                          FOR i IN range(1, GREATEST(len(t) - {NOVEL_K - 2}, 1))])
+                    ELSE [] END AS gh
+        FROM toks
+    ),
+    fp AS (
+        SELECT doc_id, lang, unnest(gh) AS g FROM grams WHERE len(gh) > 0
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM fp GROUP BY g),
+    per AS (
+        SELECT fp.doc_id, fp.lang,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN first.first_doc = fp.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM fp JOIN first USING (g)
+        GROUP BY fp.doc_id, fp.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(n_novel * 1.0 / n_grams AS DECIMAL(27,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_novelty,
+           CAST(SUM(CASE WHEN n_novel = n_grams THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_all_novel,
+           CAST(SUM(CASE WHEN n_novel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_novel
+    FROM per
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("text_novelty_coverage", oracle=_novelty_sql)
+def text_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental n-gram novelty (the signal behind Lee et al.'s
+    'Deduplicating Training Data' substring analysis, at {NOVEL_K}-gram
+    granularity): a doc's novelty is the share of its DISTINCT
+    {NOVEL_K}-gram hashes whose FIRST corpus occurrence (min doc_id) is
+    this doc. Planted exact copies (the dedup.py corpus model) have
+    novelty 0 by construction — the n_no_novel column is the purge
+    candidate count; n_all_novel counts docs contributing only unseen
+    text. Per-language rollup with a decimal-deterministic mean.
+
+    Scale shape: gram hashing is a pure in-row HOF over the token
+    array (map-side, codegen); the shuffles key on constant-width
+    32-bit gram hashes (first-occurrence groupBy with map-side partial
+    MIN, then the hash-join back) and (doc_id, lang) for the per-doc
+    rollup — document text never crosses an exchange. The corpus scan
+    is spread across cores (_corpus spread=True) because per-row gram
+    hashing dominates at small file counts."""
+    doc = _corpus(spark, sf_dir, "exact", spread=True)
+    from gresearch_parquet_benchmarking_spark.functions.text_funcs import md5_hash64
+
+    t = tokens_col("text")
+    n = F.size(t)
+    grams_raw = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - NOVEL_K, F.lit(-1))),
+        lambda i: md5_hash64(
+            F.concat_ws(" ", *[F.get(t, i + j) for j in range(NOVEL_K)])
+        ),
+    )
+    gh = F.when(n >= NOVEL_K, F.array_distinct(grams_raw)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    fp = (
+        doc.select("doc_id", "lang", gh.alias("gh"))
+        .filter(F.size("gh") > 0)
+        .select("doc_id", "lang", F.explode("gh").alias("g"))
+    )
+    first = fp.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        fp.join(first, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    ratio = (F.col("n_novel") * F.lit(1.0) / F.col("n_grams")).cast("decimal(27,9)")
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(ratio).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_novelty"),
+            F.sum(
+                F.when(F.col("n_novel") == F.col("n_grams"), 1).otherwise(0)
+            ).cast("long").alias("n_all_novel"),
+            F.sum(F.when(F.col("n_novel") == 0, 1).otherwise(0)).cast("long").alias(
+                "n_no_novel"
+            ),
+        )
+        .orderBy("lang")
+    )
