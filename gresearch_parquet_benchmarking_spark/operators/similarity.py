@@ -1825,3 +1825,196 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("i")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 6)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 10    # relevance candidates per query fed to the re-ranker
+MMR_SELECT = 3   # diversified results returned
+MMR_LAMBDA = 0.5  # exact binary fraction: 0.5*x is bit-deterministic
+
+
+def _mmr_sql() -> str:
+    """DuckDB twin of the greedy MMR loop, unrolled from the same
+    Python constants as the Spark builder (the kmeans never-drifts
+    contract). Scores stay RAW doubles until the final ROUND — both
+    engines compute rel and sim with the same IEEE expression tree, and
+    0.5·rel − 0.5·msim is exact halving, so the greedy argmax picks the
+    same item on both sides."""
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.v AS v,
+               {_SQL_COS} AS rel
+        FROM vecs a JOIN vecs b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, v, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {MMR_POOL}
+    ),
+    sims AS (
+        SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+               {_SQL_COS} AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    ),
+    sel_1 AS (
+        SELECT query_id, neighbor_id, rel, 1 AS step FROM (
+            SELECT query_id, neighbor_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, neighbor_id) AS rnk
+            FROM cand
+        ) WHERE rnk = 1
+    )"""
+    ]
+    for k in range(2, MMR_SELECT + 1):
+        parts.append(
+            f""",
+    ms_{k} AS (
+        SELECT s.query_id, s.ida AS neighbor_id, MAX(s.sim) AS msim
+        FROM sims s JOIN sel_{k - 1} p
+          ON s.query_id = p.query_id AND s.idb = p.neighbor_id
+        GROUP BY s.query_id, s.ida
+    ),
+    pick_{k} AS (
+        SELECT query_id, neighbor_id, rel, {k} AS step FROM (
+            SELECT c.query_id, c.neighbor_id, c.rel,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY {lam} * c.rel - {mu} * m.msim DESC,
+                                c.neighbor_id) AS prnk
+            FROM cand c
+            JOIN ms_{k} m
+              ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel_{k - 1} p
+                              WHERE p.query_id = c.query_id
+                                AND p.neighbor_id = c.neighbor_id)
+        ) WHERE prnk = 1
+    ),
+    sel_{k} AS (
+        SELECT * FROM sel_{k - 1} UNION ALL SELECT * FROM pick_{k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, CAST(step AS BIGINT) AS step, neighbor_id,
+           ROUND(rel, 6) AS rel
+    FROM sel_{MMR_SELECT}
+    ORDER BY query_id, step
+    """
+    )
+    return "".join(parts)
+
+
+@query("ann_mmr_diversified_topk", oracle=_mmr_sql)
+def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    from each query's exact top-{MMR_POOL} relevance pool, greedily
+    select {MMR_SELECT} results maximizing
+    λ·rel(c) − (1−λ)·max_{{s∈selected}} sim(c, s) — the standard
+    redundancy-suppressing retrieval head over an ANN index (a RAG
+    pipeline's final stage). Emits (query_id, step, neighbor_id, rel):
+    step 1 is the plain top-1; later steps trade relevance for
+    diversity.
+
+    Scale shape: the O(|corpus|) work is exactly the bruteforce scorer
+    (broadcast queries, one corpus scan); everything after operates on
+    {MMR_POOL} rows/query — the candidate pool and its {MMR_POOL}²
+    pairwise sims are persisted once, and each greedy step is a
+    max-aggregation + argmax over pool-sized tables keyed by query_id
+    (constant-width shuffle keys). λ = {MMR_LAMBDA} is an exact binary
+    fraction so the score arithmetic is bit-deterministic; ties break
+    on neighbor_id."""
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    vec = _vectors_spread(spark, sf_dir).withColumn("n2", l2_norm(F.col("v")))
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+    )
+    scored = vec.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        "n2",
+        (dot_product(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n2"))).alias(
+            "rel"
+        ),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    cand = track_persist(
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .select("query_id", "neighbor_id", "v", "n2", "rel", "rnk")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = cand.select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    sims = track_persist(
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("ida") != F.col("idb")))
+        .select(
+            "query_id",
+            "ida",
+            "idb",
+            (dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "sim"
+            ),
+        )
+    )
+    selected = (
+        cand.filter(F.col("rnk") == 1)
+        .select("query_id", "neighbor_id", "rel", F.lit(1).alias("step"))
+    )
+    for k in range(2, MMR_SELECT + 1):
+        ms = (
+            sims.join(
+                selected.select("query_id", F.col("neighbor_id").alias("idb")),
+                ["query_id", "idb"],
+            )
+            .groupBy("query_id", "ida")
+            .agg(F.max("sim").alias("msim"))
+            .withColumnRenamed("ida", "neighbor_id")
+        )
+        rem = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        wp = W.partitionBy("query_id").orderBy(
+            F.desc(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("msim")),
+            F.asc("neighbor_id"),
+        )
+        pick = (
+            rem.join(ms, ["query_id", "neighbor_id"])
+            .withColumn("prnk", F.row_number().over(wp))
+            .filter(F.col("prnk") == 1)
+            .select("query_id", "neighbor_id", "rel", F.lit(k).alias("step"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "query_id",
+        F.col("step").cast("long").alias("step"),
+        "neighbor_id",
+        F.round("rel", 6).alias("rel"),
+    ).orderBy("query_id", "step")
