@@ -64,3 +64,48 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+PRUNE_MONTH_LO = "1995-01"  # the probed quarter; every SF's orders span it
+PRUNE_MONTH_HI = "1995-03"
+
+
+@query(
+    "layout_partition_pruned_scan",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_ordermonth,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '{PRUNE_MONTH_LO}'
+                                             AND '{PRUNE_MONTH_HI}'
+    GROUP BY 1, 2
+    ORDER BY o_ordermonth, o_orderpriority
+    """,
+)
+def layout_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume/value for one quarter, read from the
+    Hive-partitioned orders layout (sources/partitioning.py): the
+    month predicate hits the PARTITION column, so Catalyst prunes to
+    the 3 qualifying directories at planning time — the other ~77
+    months cost zero I/O and zero tasks (PartitionFilters + scanned
+    file count pinned by tests/test_layout_partition.py). The DuckDB
+    twin computes the same answer from the unpartitioned table: layout
+    is metadata, values must not move."""
+    from gresearch_parquet_benchmarking_spark.sources.partitioning import (
+        PART_COL,
+        ensure_partitioned_orders,
+    )
+
+    path = ensure_partitioned_orders(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(PART_COL).between(PRUNE_MONTH_LO, PRUNE_MONTH_HI))
+        .groupBy(PART_COL, "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="total_price"),
+        )
+        .orderBy(PART_COL, "o_orderpriority")
+    )
