@@ -451,3 +451,67 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_type)
+                   AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+        FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           ROUND(t.n * 1.0 / o.n_out, 6) AS p
+    FROM trans t JOIN outdeg o ON t.from_type = o.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each user's event stream in event-time order, count
+    (previous type → type) transitions and row-normalize into
+    transition probabilities — the behavioral model a funnel/journey
+    analysis starts from (and an anomaly detector baselines against).
+    Tie order at equal timestamps is pinned by (ts, event_type) on
+    both engines, and swapping identical (user, ts, type) rows cannot
+    change a transition count, so the result is delivery-order-free.
+
+    Scale shape: one user_id window (the sessionization exchange),
+    then a |types|² aggregation with map-side partials; the
+    normalization denominator joins a broadcast |types|-row table.
+    Event values never shuffle — only (user_id, type, ts)."""
+    seq = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts_us", "event_type"))
+        .alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("n_out"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -783,3 +783,100 @@ def text_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (round 6)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 100  # head terms per language fed to the log-log regression
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH terms AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+        SELECT lang, term, COUNT(*) AS n FROM terms GROUP BY lang, term
+    ),
+    ranked AS (
+        SELECT lang, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, term) AS rnk
+        FROM counts
+    ),
+    logs AS (
+        SELECT lang,
+               ROUND(ln(rnk), 9) AS x,
+               ROUND(ln(n), 9) AS y
+        FROM ranked WHERE rnk <= {ZIPF_TOP}
+    ),
+    sums AS (
+        SELECT lang,
+               COUNT(*) AS k,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+        FROM logs GROUP BY lang
+    )
+    SELECT lang, k AS n_terms,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+               AS intercept
+    FROM sums
+    ORDER BY lang
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: ordinary-least-squares slope of
+    log-frequency vs log-rank over each language's top-{ZIPF_TOP}
+    terms. Natural text sits near slope −1; a corpus drifting toward 0
+    (flat head) signals boilerplate/template flooding, and a steep
+    slope signals vocabulary collapse — either way the distribution
+    check a curation pipeline alarms on. Reports per-language slope
+    and intercept.
+
+    Scale shape: term counting shuffles on (lang, term) with map-side
+    partials; the per-language rank window runs over term COUNTS (the
+    aggregated table, vastly smaller than the corpus) and the head cut
+    bounds the regression to {ZIPF_TOP} rows/language. Determinism:
+    logs are rounded to 9 decimals per row, all OLS sums are
+    decimal-accumulated (rule 1), and the final slope/intercept
+    arithmetic is per-row IEEE on identical inputs."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    counts = (
+        doc.select("lang", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    logs = (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= ZIPF_TOP)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("n").cast("double")), 9).alias("y"),
+        )
+    )
+    dsum12 = lambda c: F.sum(c.cast("decimal(27,12)")).cast("double")  # noqa: E731
+    sums = logs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        dsum12(F.col("x")).alias("sx"),
+        dsum12(F.col("y")).alias("sy"),
+        dsum12(F.col("x") * F.col("y")).alias("sxy"),
+        dsum12(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (F.col(c) for c in ("k", "sx", "sy", "sxy", "sxx"))
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return sums.select(
+        "lang",
+        k.alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"),
+    ).orderBy("lang")
