@@ -97,6 +97,16 @@ FULL_ONLY_QUERIES = [
     "quality_vs_dup_lift",
     "ann_pq_codebook",
     "embedding_pca_power_iteration",
+    # r6 additions (local-gate ops measured for history; the
+    # stream_funnel_buffered_ooo harness stages+replays files and is
+    # correctness surface, not a perf row — deliberately absent)
+    "quality_gopher_rules",
+    "text_novelty_coverage",
+    "mixture_temperature_sampling",
+    "ann_mmr_diversified_topk",
+    "layout_partition_pruned_scan",
+    "events_markov_transitions",
+    "text_zipf_fit",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

