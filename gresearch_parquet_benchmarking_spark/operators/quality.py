@@ -894,3 +894,73 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / k, 6).alias("intercept"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (round 6)
+# ---------------------------------------------------------------------------
+
+_FERT_PATTERN = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(LEN(regexp_extract_all(text, '{_FERT_PATTERN}')) AS BIGINT)
+                   AS n_sub,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subwords,
+           ROUND(CAST(SUM(n_sub) AS BIGINT) * 1.0
+                 / CAST(SUM(n_words) AS BIGINT), 6) AS fertility,
+           ROUND(CAST(SUM(CAST(n_sub * 1.0 / n_words AS DECIMAL(27,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_doc_fertility
+    FROM per
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) per
+    language — the cost metric that decides whether a tokenizer's
+    vocab serves a language fairly (high fertility = more sequence
+    length per sentence = more compute per token of meaning). Uses the
+    deterministic vowel-nucleus subword stand-in shared with
+    text_subword_tokens; reports both the corpus-level ratio (total
+    subwords / total words — how budgets actually get spent) and the
+    per-doc mean (how a typical document experiences it).
+
+    Scale shape: counting is map-side regexp + split per row; the only
+    shuffle is the per-language rollup with map-side partial sums.
+    Integer sums are exact; the per-doc ratio mean is
+    decimal-accumulated (rule 1)."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    n_sub = F.size(
+        F.regexp_extract_all("text", F.lit(_FERT_PATTERN), F.lit(0))
+    ).cast("long")
+    n_words = F.size(tokens_col("text")).cast("long")
+    per = doc.select("lang", n_sub.alias("n_sub"), n_words.alias("n_words"))
+    tw = F.sum("n_words").cast("long")
+    ts = F.sum("n_sub").cast("long")
+    doc_ratio = (F.col("n_sub") * F.lit(1.0) / F.col("n_words")).cast("decimal(27,9)")
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            tw.alias("total_words"),
+            ts.alias("total_subwords"),
+            F.round(ts * F.lit(1.0) / tw, 6).alias("fertility"),
+            F.round(F.sum(doc_ratio).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_doc_fertility"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -2018,3 +2018,91 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("rel", 6).alias("rel"),
     ).orderBy("query_id", "step")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep (round 6): the SemDeDup/epsilon calibration
+# ---------------------------------------------------------------------------
+
+NEARDUP_SWEEP = (0.3, 0.5, 0.7, 0.9)
+
+
+@query(
+    "embedding_neardup_threshold_sweep",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    {_SQL_PLANES}
+    , pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_COS} AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    n AS (SELECT COUNT(*) AS corpus_n FROM vecs)
+    SELECT t.thr AS threshold,
+           COUNT(*) AS n_cand_pairs,
+           CAST(SUM(CASE WHEN p.cos >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.cos >= t.thr THEN p.vec_b END)
+                AS BIGINT) AS n_dropped,
+           ROUND(COUNT(DISTINCT CASE WHEN p.cos >= t.thr THEN p.vec_b END)
+                 * 1.0 / ANY_VALUE(n.corpus_n), 6) AS drop_share
+    FROM pairs p
+    CROSS JOIN (VALUES {", ".join(f"({t})" for t in NEARDUP_SWEEP)}) t(thr)
+    CROSS JOIN n
+    GROUP BY t.thr
+    ORDER BY threshold
+    """,
+)
+def embedding_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon calibration for embedding near-dup pruning: over the
+    LSH-bucket candidate pairs (embedding_cosine_neardup's generator),
+    count qualifying pairs and distinct pruned vectors at each
+    threshold in {NEARDUP_SWEEP} in ONE pass — the sweep that picks
+    SemDeDup's epsilon (too low over-prunes paraphrases; too high
+    misses templates). drop_share is the corpus fraction each epsilon
+    would remove.
+
+    Scale shape: candidates meet only inside an LSH bucket (the
+    no-all-pairs contract); the sweep multiplies the CANDIDATE table
+    (not the corpus) by |thresholds| broadcast rows; counts aggregate
+    with map-side partials keyed by (threshold, vec_b) for the
+    distinct. Threshold literals parse to identical doubles on both
+    engines, so the >= cuts agree bitwise."""
+    vec = _vectors_spread(spark, sf_dir)
+    bucketed = vec.select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("n2"), _lsh_bucket_col().alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb"), F.col("bucket").alias("bucket_b"),
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b", cos.alias("cos"))
+    n = vec.agg(F.count(F.lit(1)).alias("corpus_n"))
+    thr = F.explode(F.array(*[F.lit(t) for t in NEARDUP_SWEEP])).alias("threshold")
+    hit = F.when(F.col("cos") >= F.col("threshold"), F.col("vec_b"))
+    return (
+        pairs.select("vec_a", "vec_b", "cos", thr)
+        .crossJoin(F.broadcast(n))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand_pairs"),
+            F.sum(F.when(F.col("cos") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.count_distinct(hit).cast("long").alias("n_dropped"),
+            F.round(
+                F.count_distinct(hit) * F.lit(1.0) / F.first("corpus_n"), 6
+            ).alias("drop_share"),
+        )
+        .orderBy("threshold")
+    )
