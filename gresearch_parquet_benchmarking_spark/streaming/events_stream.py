@@ -690,3 +690,132 @@ def stream_funnel_buffered_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return _funnel_rollup(out.filter(F.col("user_id") >= 0))
+
+
+_LATE_SPAN_DIV = 10      # stragglers = earliest 1/10 of the event-time span
+_LATE_DELAY = "30 minutes"
+_LATE_SENTINEL_US = 4_102_444_800 * 1_000_000  # 2100-01-01 epoch µs
+
+
+@query(
+    "stream_late_data_audit",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    bounds AS (
+        SELECT MIN(ts_us) AS mn,
+               MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // {_LATE_SPAN_DIV} AS cutoff
+        FROM e
+    ),
+    tagged AS (
+        SELECT ts_us - ts_us % 3600000000 AS hour_start_us,
+               (ts_us < bounds.cutoff) AS straggler
+        FROM e, bounds
+    )
+    SELECT CAST(hour_start_us AS BIGINT) AS hour_start_us,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN straggler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN straggler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late_dropped
+    FROM tagged
+    GROUP BY hour_start_us
+    ORDER BY hour_start_us
+    """,
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-drop ACCOUNTING: replay the events table with the
+    earliest tenth of the event-time span arriving LAST (after the
+    bulk), run the hourly windowed count with a {_LATE_DELAY} watermark
+    in append mode, and reconcile against the batch ground truth — per
+    hour, how many rows the watermark dropped. This is the audit a
+    production streaming pipeline publishes next to its dashboards:
+    watermark drops are silent by design, and the only way to trust an
+    hourly metric is to account for what it excluded.
+
+    The oracle is EXACT, not approximate, by construction: stragglers
+    are older than the post-bulk watermark by far more than the delay
+    (span/{_LATE_SPAN_DIV} ≫ {_LATE_DELAY} at every SF), so every
+    straggler row is dropped and no row sits near Spark's drop
+    boundary — the accounting equals the deterministic batch split.
+    Replay choreography (empirically pinned): Spark applies the late
+    filter and the eviction using the watermark COMMITTED ONE BATCH
+    EARLIER than the progress line reports — a late row arriving in
+    the very next batch after the bulk is NOT yet dropped. So the
+    replay inserts a 1-row gap batch (at max event time + 1 h) between
+    bulk and stragglers, which arms the filter before any straggler
+    arrives, and ends with TWO far-future sentinel batches so the
+    final real windows are evicted/emitted under the advanced
+    watermark (one sentinel only arms it). The synthetic gap/sentinel
+    hours never reach the output: the reconciliation LEFT-joins from
+    the batch truth, which contains only real hours."""
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(_events_schema(spark, sf_dir))
+        .parquet(table_path(sf_dir, "events"))
+    )
+    if isinstance(batch.schema["ts"].dataType, T.LongType):
+        batch = batch.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        batch = batch.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+    rows = batch.select("user_id", "ts_us")
+    bounds = rows.agg(
+        (
+            F.min("ts_us")
+            + F.expr(f"(max(ts_us) - min(ts_us)) div {_LATE_SPAN_DIV}")
+        ).alias("cutoff")
+    )
+    tagged = rows.crossJoin(F.broadcast(bounds))
+    d = tempfile.mkdtemp(prefix="late_audit_stage_")
+    try:
+        # replay order: bulk, gap (arms the late filter), stragglers,
+        # two sentinels (arm + evict). Single file each = one batch each.
+        tagged.filter(F.col("ts_us") >= F.col("cutoff")).select(
+            "user_id", "ts_us"
+        ).coalesce(1).write.parquet(f"{d}/a_bulk.parquet")
+        rows.agg((F.max("ts_us") + 3600 * 1_000_000).alias("ts_us")).select(
+            F.lit(-2).cast("long").alias("user_id"), "ts_us"
+        ).coalesce(1).write.parquet(f"{d}/b_gap.parquet")
+        tagged.filter(F.col("ts_us") < F.col("cutoff")).select(
+            "user_id", "ts_us"
+        ).coalesce(1).write.parquet(f"{d}/c_straggler.parquet")
+        for j, off in ((1, 0), (2, 1_000_000)):
+            spark.createDataFrame(
+                [(-1, _LATE_SENTINEL_US + off)], "user_id long, ts_us long"
+            ).coalesce(1).write.parquet(f"{d}/z{j}_sentinel.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/*")
+            .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        agg = (
+            stream.withWatermark("ts_ts", _LATE_DELAY)
+            .groupBy(F.window("ts_ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+        )
+        # synthetic gap/sentinel hours survive here; the LEFT join from
+        # the batch truth below is what excludes them
+        kept = _run_to_table(agg, "append", state_partitions=8).select(
+            F.unix_micros(F.col("window.start")).alias("hour_start_us"), "n_kept"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    truth = rows.groupBy(
+        (F.col("ts_us") - F.col("ts_us") % (3600 * 1_000_000)).alias("hour_start_us")
+    ).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        truth.join(kept, "hour_start_us", "left")
+        .select(
+            "hour_start_us",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+        .orderBy("hour_start_us")
+    )
