@@ -79,3 +79,65 @@ def test_append_mode_drops_late_rows(spark, staged):
     # the batch-b3 latecomer for hour 10 was dropped by the watermark
     assert by_hour[10] == [1], by_hour
     assert by_hour[11] == [1], by_hour
+
+
+def test_late_filter_uses_previous_batch_watermark(spark):
+    """CANARY for a Spark behavior stream_late_data_audit's replay
+    choreography depends on (empirically pinned in round 6): the late
+    filter applies the watermark COMMITTED ONE BATCH EARLIER than the
+    progress line reports. A late row arriving in the very next batch
+    after the bulk is NOT yet dropped; one arriving a batch later is.
+    If a Spark upgrade changes this (e.g. same-batch watermark
+    application), this test fails and the gap-batch staging in
+    streaming/events_stream.py must be revisited."""
+    import pyspark.sql.functions as F
+
+    d = tempfile.mkdtemp(prefix="wm_lag_")
+    S = 1_000_000
+    H = 3600 * S
+    try:
+        # bulk at hours 10/20; two late files, both at hour ~0
+        for name, rows in (
+            ("a", [(1, 10 * H), (2, 20 * H)]),
+            ("b1", [(3, 0)]),          # first post-bulk batch: NOT dropped
+            ("b2", [(4, 1 * S)]),      # second: dropped
+            ("c", [(-1, 4_102_444_800 * S)]),  # sentinel flushes windows
+        ):
+            spark.createDataFrame(
+                rows, "user_id long, ts_us long"
+            ).coalesce(1).write.parquet(f"{d}/{name}.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/*")
+            .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        agg = (
+            stream.withWatermark("ts_ts", "30 minutes")
+            .groupBy(F.window("ts_ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_wmlag_")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("wm_lag_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        hour0 = (
+            spark.sql("SELECT n FROM wm_lag_out WHERE window.start = timestamp_micros(0)")
+            .collect()
+        )
+        # b1's row survived (filter still armed with the pre-bulk
+        # watermark); b2's row was dropped (filter armed with the
+        # post-bulk watermark) — so hour 0 holds exactly ONE row
+        assert [r.n for r in hour0] == [1]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
