@@ -515,3 +515,87 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_type)
+                   AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts_us
+        FROM seq
+        WHERE prev_type IS NULL OR event_type != prev_type
+    ),
+    intervals AS (
+        SELECT user_id, event_type,
+               ts_us AS valid_from_us,
+               LEAD(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_type) AS valid_to_us
+        FROM changes
+    )
+    SELECT user_id,
+           COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to_us IS NULL THEN 0
+                         ELSE valid_to_us - valid_from_us END) AS BIGINT)
+               AS closed_dwell_us,
+           CAST(MAX(CASE WHEN valid_to_us IS NULL THEN valid_from_us END)
+                AS BIGINT) AS current_since_us
+    FROM intervals
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-capture into SCD-type-2 validity intervals: collapse each
+    user's event stream into runs of constant event_type (a new version
+    opens when the type CHANGES), close each version at the next
+    change, and roll up per user — version count, total closed dwell
+    time, and the open version's start. This is the gaps-and-islands /
+    dimension-history build every warehouse runs to turn an event log
+    into a temporal table; sessionization covers the time-gap islands,
+    this covers the value-change islands.
+
+    Scale shape: two windows over the same user_id partitioning (the
+    change flag and the closing LEAD) — one exchange, both sorts
+    colocated — then a per-user rollup that reuses the partitioning.
+    Tie order at equal timestamps is pinned by (ts, event_type) on
+    both engines; dwell sums are exact integer µs."""
+    seq = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts_us", "event_type"))
+        .alias("prev_type"),
+    )
+    changes = seq.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    intervals = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us")
+        .over(W.partitionBy("user_id").orderBy("ts_us", "event_type"))
+        .alias("valid_to_us"),
+    )
+    closed = F.when(
+        F.col("valid_to_us").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.col("valid_to_us") - F.col("valid_from_us"))
+    return (
+        intervals.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(closed).cast("long").alias("closed_dwell_us"),
+            F.max(
+                F.when(F.col("valid_to_us").isNull(), F.col("valid_from_us"))
+            ).cast("long").alias("current_since_us"),
+        )
+        .orderBy("user_id")
+    )
