@@ -117,11 +117,12 @@ def _ensure_loaded() -> None:
     #
     # Round-6 window (r5 VERDICT "Next round" #1, refined by measured
     # per-module driver-signal staleness from CORRECTNESS_r01..r05):
-    # events_stream (8 — stream_funnel_stateful has ZERO lifetime
-    # driver signal; rest r4) + text (9 — text_winnowing_fingerprints
-    # has ZERO lifetime signal; rest r3/r5) + report (6 — r3) +
-    # multimodal (5 — r3) + profile (1 — r2) + relational2 (10 — r1,
-    # stalest) + relational's first 11 (r1, stalest + biggest) = 50.
+    # events_stream (10 — stream_funnel_stateful had ZERO lifetime
+    # driver signal; + the 2 r6-new streaming queries; rest r4) +
+    # text (9 — text_winnowing_fingerprints had ZERO lifetime signal;
+    # rest r3/r5) + report (6 — r3) + multimodal (5 — r3) + profile
+    # (1 — r2) + relational2 (10 — r1, stalest) + relational's first 9
+    # (r1, stalest + biggest; through join_full_outer) = 50.
     # This deviates from the raw CLAUDE.md r5 note (which listed
     # dedup/advanced/pipeline2/scale next) because those modules are
     # r4-green — only 2 rounds stale — while relational/relational2
@@ -129,10 +130,11 @@ def _ensure_loaded() -> None:
     # note predates the staleness audit. Displaced r5-green modules
     # (analytics, sketches, pipeline, pipeline3, graph, quality,
     # similarity) fall to the tail: fresh-green needs no repeat.
-    # r7 rotation plan: relational's remaining 26 + tpch2 (8, r3) +
-    # dedup/advanced/scale/pipeline2 head the next window; update
-    # tests/test_registry_window.py when rotating. Everything outside
-    # the window stays pinned by the local full-registry gate
+    # r7 rotation plan: relational's remaining 28 + tpch2 (8, r3) +
+    # the r6-new batch queries with no driver signal (see CLAUDE.md) +
+    # dedup/advanced/scale/pipeline2 compete for the next window;
+    # update tests/test_registry_window.py when rotating. Everything
+    # outside the window stays pinned by the local full-registry gate
     # (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
