@@ -107,6 +107,7 @@ FULL_ONLY_QUERIES = [
     "layout_partition_pruned_scan",
     "events_markov_transitions",
     "text_zipf_fit",
+    "events_scd2_intervals",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are
