@@ -108,6 +108,8 @@ FULL_ONLY_QUERIES = [
     "events_markov_transitions",
     "text_zipf_fit",
     "events_scd2_intervals",
+    "graph_pagerank_bipartite",
+    "ann_range_search",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

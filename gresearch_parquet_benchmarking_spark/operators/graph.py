@@ -245,3 +245,155 @@ def split_contamination_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(clean))
         .orderBy("side")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (round 6): the engine's third iterative algorithm
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_DAMP = 0.85   # literal parses to the same double on both engines
+PR_TOP = 20
+
+
+def _pagerank_sql() -> str:
+    """DuckDB twin of the unrolled power iteration — same iteration
+    count, same decimal mass accumulation, generated from the same
+    Python constants (the kmeans never-drifts contract)."""
+    parts = [
+        """
+    WITH raw AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    dire AS (
+        SELECT src, dst, w FROM raw
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM raw
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM dire GROUP BY src),
+    edges AS (
+        SELECT d.src, d.dst, d.w * 1.0 / o.wout AS r
+        FROM dire d JOIN outw o ON d.src = o.src
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM dire),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr_0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    ]
+    for i in range(PR_ITERS):
+        parts.append(
+            f""",
+    mass_{i} AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(p.pr * e.r AS DECIMAL(38,18))) AS DOUBLE) AS mass
+        FROM edges e JOIN pr_{i} p ON e.src = p.node
+        GROUP BY e.dst
+    ),
+    pr_{i + 1} AS (
+        SELECT n.node,
+               {1.0 - PR_DAMP} / nn.n + {PR_DAMP} * COALESCE(m.mass, 0) AS pr
+        FROM nodes n CROSS JOIN nn LEFT JOIN mass_{i} m ON n.node = m.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node_type, node_key, pr, rank FROM (
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               CAST(node // 2 AS BIGINT) AS node_key,
+               ROUND(pr, 9) AS pr,
+               CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank
+        FROM pr_{PR_ITERS}
+    ) WHERE rank <= {PR_TOP}
+    ORDER BY rank
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank_bipartite", oracle=_pagerank_sql)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (edges = who
+    bought from whom via orders⋈lineitem, symmetrized, weight = line
+    count), {PR_ITERS} damped power iterations — the importance
+    ranking a marketplace/risk analysis runs over its transaction
+    graph, and the engine's third ITERATIVE algorithm next to label
+    propagation (connected components) and Lloyd (k-means). Emits the
+    top {PR_TOP} nodes.
+
+    Scale shape per iteration: one edge⋈rank hash join (the rank table
+    is |nodes| rows — broadcastable far beyond any real customer
+    count) and one dst-key aggregation with map-side partial decimal
+    sums; the edge list and node set are persisted once and reused by
+    every iteration. The final top-{PR_TOP} is a distributed
+    TakeOrdered, never a global sort. Determinism: per-row pr·r
+    products are IEEE-identical, mass sums are decimal-accumulated,
+    teleport arithmetic is per-row — so ranks are bit-identical and
+    the ORDER BY needs no rounding to agree."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        track_persist,
+    )
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dire = raw.select("src", "dst", "w").unionAll(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    outw = dire.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    edges = track_persist(
+        dire.join(outw, "src").select(
+            "src", "dst", (F.col("w") * F.lit(1.0) / F.col("wout")).alias("r")
+        )
+    )
+    nodes = track_persist(edges.select(F.col("src").alias("node")).distinct())
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        mass = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum((F.col("pr") * F.col("r")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("mass")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - PR_DAMP) / F.col("n")
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    top = ranks.orderBy(F.desc("pr"), F.asc("node")).limit(PR_TOP)
+    wr = W.orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            F.round("pr", 9).alias("pr"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -2106,3 +2106,75 @@ def embedding_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("threshold")
     )
+
+
+RANGE_RADIUS = 0.3  # cosine radius; literal parses identically on both engines
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_SQL_COS} AS cos
+        FROM vecs a JOIN vecs b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN cos >= {RANGE_RADIUS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_range,
+           ROUND(MAX(CASE WHEN cos >= {RANGE_RADIUS} THEN cos END), 6)
+               AS max_cos,
+           ROUND(MIN(CASE WHEN cos >= {RANGE_RADIUS} THEN cos END), 6)
+               AS min_cos
+    FROM scored
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search — the OTHER vector-search API next to
+    top-k: for each query vector, every corpus vector within cosine
+    radius {RANGE_RADIUS}, rolled up per query (count + the range's
+    cosine extremes). Top-k answers "give me the best k"; range search
+    answers "give me everything this similar" — the right primitive
+    for dedup sweeps and recall-bounded retrieval where the neighbor
+    count is data-dependent.
+
+    Scale shape: identical to the bruteforce scorer (broadcast query
+    set, one corpus scan, map-side dot folds); the rollup aggregates
+    per query_id with map-side partials, so the result is |queries|
+    rows regardless of how many neighbors fall inside the radius —
+    the full pair list never materializes past the aggregation.
+    Radius comparisons hit raw doubles on both engines; MAX/MIN are
+    order-free."""
+    vec = _vectors_spread(spark, sf_dir).withColumn("n2", l2_norm(F.col("v")))
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+    )
+    scored = vec.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        (dot_product(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n2"))).alias(
+            "cos"
+        ),
+    )
+    inr = F.when(F.col("cos") >= RANGE_RADIUS, F.col("cos"))
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("cos") >= RANGE_RADIUS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_range"),
+            F.round(F.max(inr), 6).alias("max_cos"),
+            F.round(F.min(inr), 6).alias("min_cos"),
+        )
+        .orderBy("query_id")
+    )
