@@ -599,3 +599,52 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "orders_seasonality_trailing",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(CAST(SUM(n_orders) OVER w AS BIGINT) AS DOUBLE)
+               / COUNT(*) OVER w AS trailing_avg,
+           ROUND(n_orders * 1.0 /
+                 (CAST(CAST(SUM(n_orders) OVER w AS BIGINT) AS DOUBLE)
+                  / COUNT(*) OVER w), 6) AS seasonal_ratio
+    FROM monthly
+    WINDOW w AS (ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    ORDER BY month
+    """,
+)
+def orders_seasonality_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality screen over the order volume series: monthly counts,
+    the trailing-12-month moving average, and each month's ratio to
+    it — the decomposition-lite a demand dashboard draws (ratio > 1 =
+    seasonal peak). The window frame averages over however many months
+    exist (early months use a shorter window on BOTH engines — same
+    ROWS frame semantics).
+
+    Scale shape: the corpus-sized work is one month-key aggregation
+    with map-side partials; the moving window then runs over the
+    MONTH table (≈ corpus-years × 12 rows — metadata-sized at any SF),
+    so the single-partition ORDER BY window is free. Integer sums and
+    counts make the averages exact-deterministic."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = W.orderBy("month").rowsBetween(-11, 0)
+    tavg = F.sum("n_orders").over(w).cast("long").cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        tavg.alias("trailing_avg"),
+        F.round(F.col("n_orders") * F.lit(1.0) / tavg, 6).alias("seasonal_ratio"),
+    ).orderBy("month")

@@ -397,3 +397,88 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Fixed power-of-two degree bins via integer comparisons — a
+# floor(log2()) bucket would hinge on float log identities agreeing
+# across engines at exact powers of two; CASE chains cannot disagree.
+_DEG_BINS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
+
+
+def _deg_bin_sql() -> str:
+    whens = " ".join(
+        f"WHEN degree < {hi} THEN {lo}"
+        for lo, hi in zip(_DEG_BINS, _DEG_BINS[1:])
+    )
+    return f"CASE {whens} ELSE {_DEG_BINS[-1]} END"
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    dire AS (
+        SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM dire GROUP BY src)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST({{bin}} AS BIGINT) AS degree_bin,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1, 2
+    ORDER BY node_type, degree_bin
+    """.replace("{bin}", _deg_bin_sql()),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier trade graph in
+    power-of-two bins — the first structural check before any graph
+    algorithm (PageRank, components): a heavy-tailed degree histogram
+    warns about hub-key skew in every node-keyed shuffle downstream.
+    Degree = distinct counterparties.
+
+    Scale shape: distinct edges via one (src, dst) aggregation,
+    degrees via one node-key count (map-side partials), then a
+    ~22-row histogram. Bins are integer CASE comparisons — no float
+    log that could straddle an exact power of two differently per
+    engine."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    dire = raw.unionAll(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = dire.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    binned = F.lit(_DEG_BINS[-1])
+    for lo, hi in reversed(list(zip(_DEG_BINS, _DEG_BINS[1:]))):
+        binned = F.when(F.col("degree") < hi, F.lit(lo)).otherwise(binned)
+    return (
+        deg.groupBy(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            binned.cast("long").alias("degree_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+        .orderBy("node_type", "degree_bin")
+    )
