@@ -648,3 +648,178 @@ def orders_seasonality_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         tavg.alias("trailing_avg"),
         F.round(F.col("n_orders") * F.lit(1.0) / tavg, 6).alias("seasonal_ratio"),
     ).orderBy("month")
+
+
+BASKET_MIN_SUPPORT = 3  # minimum co-order count for the affinity table
+
+
+@query(
+    "basket_part_affinity",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    singles AS (
+        SELECT l_partkey, COUNT(*) AS n_p FROM li GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           ROUND(p.n_ab * 1.0 * n.n_orders / (sa.n_p * sb.n_p), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON p.part_a = sa.l_partkey
+    JOIN singles sb ON p.part_b = sb.l_partkey
+    CROSS JOIN n
+    WHERE p.n_ab >= {BASKET_MIN_SUPPORT}
+    ORDER BY p.n_ab DESC, p.part_a, p.part_b
+    """,
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over order line items: for every part
+    pair co-appearing in ≥ {BASKET_MIN_SUPPORT} orders, the co-order
+    count and the LIFT over independence
+    (P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)) — the co-purchase
+    signal behind recommendations and assortment planning.
+
+    Scale shape: the pair join is WITHIN an order (orders hold a
+    handful of lines, so per-key fanout is bounded ~lines²/2 — the
+    same bounded-explode contract as dedup_chunk_boilerplate), keyed
+    on the order key; pair counting and the two singles joins shuffle
+    on constant-width part keys with map-side partials; the order
+    count broadcasts. Lift is a per-row double ratio of exact
+    integers."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    singles = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            singles.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            singles.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.lit(1.0) * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+    )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                             AS DECIMAL(27,4))) AS DOUBLE) AS r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT s_nationkey,
+               CAST(SUM(CAST(r AS DECIMAL(27,4))) AS DOUBLE) AS rt,
+               COUNT(*) AS n_suppliers
+        FROM rev GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           t.n_suppliers,
+           ROUND(CAST(SUM(CAST((rev.r / t.rt) * (rev.r / t.rt)
+                               AS DECIMAL(27,12))) AS DOUBLE), 6) AS hhi,
+           ROUND(1.0 / t.n_suppliers, 6) AS hhi_floor
+    FROM rev
+    JOIN tot t ON rev.s_nationkey = t.s_nationkey
+    JOIN nation n ON rev.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, t.n_suppliers
+    ORDER BY nation
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation as the
+    Herfindahl–Hirschman index (Σ share²) with its theoretical floor
+    1/n — the market-structure metric a procurement/risk team tracks
+    (HHI → 1 means one supplier owns the nation's volume). Revenue and
+    the share denominators are decimal-accumulated so the shares are
+    bit-identical; share² sums are decimal-accumulated again (rule 1,
+    twice).
+
+    Scale shape: one (nation, supplier)-key revenue aggregation over
+    lineitem (map-side partials), a 25-row total join, and a broadcast
+    nation-name join — lineitem is scanned once and nothing wider
+    than (nation, supplier) crosses an exchange."""
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            )
+            .cast("double")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum(F.col("r").cast("decimal(27,4)")).cast("double").alias("rt"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("r") / F.col("rt")
+    return (
+        rev.join(tot, "s_nationkey")
+        .join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            F.round(
+                F.sum((share * share).cast("decimal(27,12)")).cast("double"), 6
+            ).alias("hhi"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            "hhi",
+            F.round(F.lit(1.0) / F.col("n_suppliers"), 6).alias("hhi_floor"),
+        )
+        .orderBy("nation")
+    )

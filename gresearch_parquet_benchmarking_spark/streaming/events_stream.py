@@ -819,3 +819,55 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start_us")
     )
+
+
+@query(
+    "stream_user_latest_state",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_type DESC) AS rn
+        FROM events
+    )
+    SELECT event_type AS last_event_type,
+           COUNT(*) AS n_users,
+           CAST(MIN(ts_us) AS BIGINT) AS oldest_state_us,
+           CAST(MAX(ts_us) AS BIGINT) AS newest_state_us
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY last_event_type
+    """,
+)
+def stream_user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CURRENT-STATE table: each user's latest event (the
+    upsert-materialized view a serving layer keeps — "what is this
+    user doing right now"), maintained incrementally as a streaming
+    max of the (ts, event_type) struct per user, then rolled up per
+    current state. Struct-max ties break on event_type exactly like
+    the oracle's (ts DESC, event_type DESC) row_number.
+
+    Scale shape: per-user state is one (long, string) struct — the
+    minimal upsert state — hash-partitioned across executors; the
+    rollup runs on the materialized per-user table. Complete mode is
+    the harness's materialization; a deployment writes update-mode
+    upserts to a keyed sink instead, with the same per-key state."""
+    ev = _read_event_stream(spark, sf_dir)
+    latest = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_type")).alias("last"))
+    )
+    out = _run_to_table(latest, "complete", state_partitions=8)
+    return (
+        out.select(
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.ts_us").alias("ts_us"),
+        )
+        .groupBy("last_event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("ts_us").cast("long").alias("oldest_state_us"),
+            F.max("ts_us").cast("long").alias("newest_state_us"),
+        )
+        .orderBy("last_event_type")
+    )

@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = [
     "stream_centroid_assign",
     "stream_funnel_buffered_ooo",  # r6-new: out-of-order buffered funnel
     "stream_late_data_audit",      # r6-new: watermark-drop accounting
+    "stream_user_latest_state",    # r6-new: upsert current-state table
     # text — tail r3-stale
     "text_token_stats",
     "text_quality_score",
@@ -76,10 +77,10 @@ MUST_BE_IN_WINDOW = [
     "join_left_outer",
     "join_semi",
     "join_anti",
-    "join_full_outer",
-    # (join_cross_small and window_rank_in_brand fell past the 50-cut
-    # when r6's two new events_stream queries entered the window head;
-    # they join relational's remaining 28 at the r7 head)
+    # (join_full_outer, join_cross_small and window_rank_in_brand fell
+    # past the 50-cut as r6's three new events_stream queries entered
+    # the window head; they join relational's remaining 29 at the r7
+    # head)
     # displaced: analytics/sketches/pipeline/pipeline3/graph/quality/
     # similarity — all fresh r5-green (fresh-green needs no repeat);
     # dedup/advanced/scale/pipeline2/tpch2 (r3/r4) head the r7 window
