@@ -110,6 +110,11 @@ FULL_ONLY_QUERIES = [
     "events_scd2_intervals",
     "graph_pagerank_bipartite",
     "ann_range_search",
+    "graph_degree_distribution",
+    "orders_seasonality_trailing",
+    "basket_part_affinity",
+    "supplier_concentration_hhi",
+    "stream_user_latest_state",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are
