@@ -113,3 +113,47 @@ def test_sequence_packing_invariants_random_corpora(spark, docs):
         assert r.end_bin == (off + r.n_tok - 1) // PACK_BUDGET
         assert (r.end_bin > r.bin) == (off % PACK_BUDGET + r.n_tok > PACK_BUDGET)
         offsets[r.lang] = off + r.n_tok
+
+
+# ---------------------------------------------------------------------------
+# Buffered-funnel machine ≡ vectorized batch semantics (round 6)
+# ---------------------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(st.sampled_from([0, 1, 2]), st.integers(min_value=0, max_value=50)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(evs=_events, split=st.integers(min_value=0, max_value=40))
+@settings(max_examples=300, deadline=None)
+def test_ordered_machine_equals_batch_semantics(evs, split):
+    """The buffered funnel replays (ts, code) events through the
+    sequential machine in sorted order, possibly across several sealed
+    prefixes. For ANY event multiset and ANY seal split point, that
+    must equal the one-shot min-based batch semantics the lean funnel
+    (and the oracle SQL) computes — the composition property the whole
+    out-of-order design rests on. Pure Python: no Spark session."""
+    import pandas as pd
+
+    from gresearch_parquet_benchmarking_spark.streaming.stateful_funnel import (
+        _advance,
+        _advance_ordered,
+    )
+
+    pairs = [(ts, code) for code, ts in evs]
+    # one-shot batch semantics over the full multiset
+    names = {0: "view", 1: "click", 2: "purchase"}
+    pdf = pd.DataFrame(
+        {"event_type": [names[c] for _, c in pairs], "ts_us": [t for t, _ in pairs]}
+    )
+    want = _advance(None, None, None, pdf) if len(pdf) else (None, None, None)
+    # sequential machine over the sorted stream, split into two sealed
+    # prefixes at an arbitrary point of the SORTED order
+    ordered = sorted(pairs)
+    cut = min(split, len(ordered))
+    v = c = p = None
+    v, c, p = _advance_ordered(v, c, p, ordered[:cut])
+    v, c, p = _advance_ordered(v, c, p, ordered[cut:])
+    assert (v, c, p) == tuple(want)
