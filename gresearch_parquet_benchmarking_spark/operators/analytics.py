@@ -823,3 +823,95 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+ASOF_TOL_US = 30 * 60 * 1_000_000  # 30-minute as-of tolerance
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+        SELECT user_id, event_type, ts_us,
+               MAX(CASE WHEN event_type = 'click' THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_type
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_us
+        FROM e
+    ),
+    purchases AS (
+        SELECT user_id, ts_us,
+               (last_click_us IS NOT NULL
+                AND ts_us - last_click_us <= {ASOF_TOL_US}) AS attributed,
+               CASE WHEN last_click_us IS NOT NULL
+                         AND ts_us - last_click_us <= {ASOF_TOL_US}
+                    THEN ts_us - last_click_us END AS gap_us
+        FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_attributed,
+           CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN attributed THEN 1 ELSE 0 END), 0)
+               AS avg_gap_us
+    FROM purchases
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of attribution (the tick-data as-of-join
+    contract: match the most recent quote/click BEFORE each trade/
+    purchase, but only within a freshness window): each purchase is
+    attributed to the user's last click at most 30 minutes old.
+    Complements asof_join_purchase_click (unbounded backward as-of)
+    and event_attribution_last_touch (campaign windows) with the
+    max-staleness knob every production as-of join exposes.
+
+    Scale shape: one carried-forward MAX window per user (the same
+    single exchange as sessionization — no join at all: the as-of
+    pairing IS the window), then a per-user rollup reusing the
+    partitioning. Gap sums are exact integer µs; the average is an
+    integer-sum / count double division."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_type")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = e.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        ).over(w).alias("last_click_us"),
+    )
+    attributed = F.col("last_click_us").isNotNull() & (
+        F.col("ts_us") - F.col("last_click_us") <= ASOF_TOL_US
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        attributed.alias("attributed"),
+        F.when(attributed, F.col("ts_us") - F.col("last_click_us")).alias("gap_us"),
+    )
+    n_attr = F.sum(F.when(F.col("attributed"), 1).otherwise(0))
+    return (
+        purchases.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            n_attr.cast("long").alias("n_attributed"),
+            (
+                F.sum("gap_us").cast("long").cast("double")
+                / F.nullif(n_attr, F.lit(0))
+            ).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
