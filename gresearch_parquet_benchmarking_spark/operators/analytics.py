@@ -915,3 +915,116 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 6)
+# ---------------------------------------------------------------------------
+
+RFM_TILES = 4
+
+
+@query(
+    "events_rfm_scores",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+    ),
+    ref AS (SELECT MAX(ts_us) AS ref_us FROM e),
+    per_user AS (
+        SELECT user_id,
+               (ref.ref_us - MAX(ts_us)) // {US_PER_DAY} AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(27,4)) END),
+                             0) AS DOUBLE) AS monetary
+        FROM e CROSS JOIN ref
+        GROUP BY user_id, ref.ref_us
+    ),
+    scored AS (
+        SELECT user_id, monetary,
+               CAST(NTILE({RFM_TILES}) OVER (ORDER BY recency_days DESC, user_id)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE({RFM_TILES}) OVER (ORDER BY frequency, user_id)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE({RFM_TILES}) OVER (ORDER BY monetary, user_id)
+                    AS BIGINT) AS m_score
+        FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(monetary AS DECIMAL(27,4))) AS DOUBLE) AS sum_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per user,
+    Recency (days since last event, vs the corpus max timestamp),
+    Frequency (event count) and Monetary (purchase value sum), each
+    quartile-scored 1..{RFM_TILES} (higher = better: most recent,
+    most frequent, highest spend), then the user count and spend per
+    (r, f, m) cell.
+
+    Scale shape: one user-keyed aggregate (map-side partials,
+    constant-width key) computes all three metrics in a single pass;
+    the reference timestamp is a broadcast 1-row aggregate. The three
+    exact NTILEs share one unpartitioned window sort — fine at segment
+    scale, and the documented 100 TB swap is the same one
+    curriculum_buckets_approx demonstrates for curriculum_deciles:
+    approx_percentile cutpoints + map-side bucket assignment, no
+    global sort. Recency is integer µs div; monetary goes through the
+    decimal accumulator at BOTH levels (per-user and per-cell) so no
+    double sum's order ever matters; NTILE ties break on user_id."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts_us"
+    )
+    ref = ev.agg(F.max("ts_us").alias("ref_us"))
+    per_user = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            ((F.first("ref_us") - F.max("ts_us")) / F.lit(US_PER_DAY))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(27,4)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "monetary",
+        F.ntile(RFM_TILES)
+        .over(W.orderBy(F.desc("recency_days"), F.asc("user_id")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(RFM_TILES)
+        .over(W.orderBy(F.asc("frequency"), F.asc("user_id")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(RFM_TILES)
+        .over(W.orderBy(F.asc("monetary"), F.asc("user_id")))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("monetary").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("sum_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

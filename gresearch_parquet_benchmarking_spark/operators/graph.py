@@ -482,3 +482,137 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "degree_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (round 6)
+# ---------------------------------------------------------------------------
+
+_RK_BASE = 4_294_967_296  # 2^32: rank key = degree*2^32 + node, collision-free
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+        ) e GROUP BY node
+    ),
+    rk AS (SELECT node, degree * {_RK_BASE} + node AS rk FROM deg),
+    oriented AS (
+        SELECT CASE WHEN ru.rk < rv.rk THEN p.u ELSE p.v END AS src,
+               CASE WHEN ru.rk < rv.rk THEN p.v ELSE p.u END AS dst,
+               CASE WHEN ru.rk < rv.rk THEN rv.rk ELSE ru.rk END AS rkdst
+        FROM pairs p
+        JOIN rk ru ON p.u = ru.node
+        JOIN rk rv ON p.v = rv.node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.src = e2.src AND e1.rkdst < e2.rkdst
+        JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_nodes,
+               CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ecnt AS (SELECT COUNT(*) AS n_edges FROM pairs)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(3.0 * n_triangles / n_wedges, 6) AS global_clustering
+    FROM stats CROSS JOIN ecnt CROSS JOIN tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts sharing an order), by DEGREE-ORIENTED
+    wedge counting — the algorithm that makes triangle enumeration
+    feasible on power-law graphs (Schank & Wagner 2005 / the
+    MapReduce formulation of Suri & Vassilvitskii 2011, "Counting
+    Triangles and the Curse of the Last Reducer"): every edge is
+    directed from its lower (degree, id) endpoint to its higher one,
+    so each node's out-degree is O(√m) regardless of how big a hub it
+    is, wedges are generated only at each triangle's MINIMUM-rank
+    vertex, and every triangle is counted exactly once with no
+    post-hoc dedup.
+
+    Scale shape: pair generation self-joins lineitem on l_orderkey
+    (bounded per-order fanout), one distinct, one degree aggregation;
+    orientation is two hash joins against the tiny degree table; the
+    wedge join is src-keyed with the rank inequality applied in-join
+    (never a cartesian); the closing edge check is an equi-join on
+    (src, dst). The rank key degree·2³² + node is a single BIGINT —
+    constant-width shuffle keys throughout. Output is one global row
+    (counts + 3·triangles/wedges), so nothing wide ever leaves the
+    executors. The 'curse of the last reducer' (one hub generating
+    O(deg²) wedges) is exactly what the orientation eliminates."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = track_persist(
+        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    deg = track_persist(
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    rk = deg.select("node", (F.col("degree") * _RK_BASE + F.col("node")).alias("rk"))
+    ru = rk.select(F.col("node").alias("nu"), F.col("rk").alias("rku"))
+    rv = rk.select(F.col("node").alias("nv"), F.col("rk").alias("rkv"))
+    lo = F.col("rku") < F.col("rkv")
+    oriented = track_persist(
+        pairs.join(ru, pairs.u == ru.nu)
+        .join(rv, pairs.v == rv.nv)
+        .select(
+            F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lo, F.col("rkv")).otherwise(F.col("rku")).alias("rkdst"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("src").alias("s1"), F.col("dst").alias("d1"), F.col("rkdst").alias("k1")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("s2"), F.col("dst").alias("d2"), F.col("rkdst").alias("k2")
+    )
+    wedges = e1.join(e2, (F.col("s1") == F.col("s2")) & (F.col("k1") < F.col("k2")))
+    # closing-edge check as a semi join: keeps each wedge at most once
+    # (oriented pairs are distinct anyway) and ships no right-side cols
+    tri = wedges.join(
+        oriented,
+        (F.col("d1") == F.col("src")) & (F.col("d2") == F.col("dst")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("degree * (degree - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    ecnt = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )

@@ -86,6 +86,7 @@ _MODULE_ORDER = [
     "operators.graph",
     "operators.quality",
     "operators.similarity",
+    "operators.retrieval",
 ]
 _PKG = "gresearch_parquet_benchmarking_spark"
 _MODULE_RANK = {f"{_PKG}.{m}": i for i, m in enumerate(_MODULE_ORDER)}
@@ -160,6 +161,7 @@ def _ensure_loaded() -> None:
         tpch2,
         relational,
         relational2,
+        retrieval,
     )
 
 

@@ -2178,3 +2178,133 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (round 6)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (16, 32)  # prefix widths evaluated against the full-dim truth
+
+
+def _mrl_sql() -> str:
+    """DuckDB twin of the truncation sweep, composed from the
+    brute-force oracle (the ann_ivf_recall pattern: the SQL literally
+    re-runs ground truth plus one truncated arm per prefix width)."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import ORACLE_SQL
+
+    bf = ORACLE_SQL["ann_topk_bruteforce"]
+
+    def trunc_arm(d: int) -> str:
+        cos = (
+            f"list_dot_product(a.t, b.t) / "
+            f"(sqrt(list_dot_product(a.t, a.t)) * sqrt(list_dot_product(b.t, b.t)))"
+        )
+        return f"""
+    SELECT CAST({d} AS BIGINT) AS mrl_dim, bf.query_id,
+           COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM bf
+    LEFT JOIN (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cos} DESC, b.vec_id) AS rnk
+            FROM tvecs_{d} a JOIN tvecs_{d} b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ) r WHERE rnk <= {TOP_K}
+    ) tr ON bf.query_id = tr.query_id AND bf.neighbor_id = tr.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+    tvecs = ",\n".join(
+        f"""
+    tvecs_{d} AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))[1:{d}] AS t
+        FROM embeddings
+    )"""
+        for d in MRL_DIMS
+    )
+    arms = "\nUNION ALL\n".join(trunc_arm(d) for d in MRL_DIMS)
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
+    {tvecs}
+    SELECT * FROM ({arms}) u
+    ORDER BY mrl_dim, query_id
+    """
+
+
+@query("embedding_matryoshka_recall", oracle=_mrl_sql)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation sweep: recall@5 of cosine top-k computed
+    on the FIRST d dims (d ∈ MRL_DIMS) against the full-dim exact
+    top-5 — the table that decides how far an MRL-style embedding can
+    be truncated before retrieval quality pays (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"). At 100 TB this is the
+    cheapest capacity lever a vector pipeline has: storing d=16 of 64
+    cuts index bytes 4x, and this query measures exactly what that
+    costs in recall.
+
+    Scale shape per arm: identical to ann_topk_bruteforce (broadcast
+    query set, one corpus scan, map-side prefix-slice + dot folds,
+    per-query top-k window over |queries|·k rows); the hit test is a
+    tiny equi-join. The corpus is scanned once per arm but the slice
+    happens before the pair join, so shorter prefixes fold cheaper.
+    Determinism: prefix cosine uses the carried-norm IEEE tree
+    (dot/(qn·n2) ≡ inline); ranking ties break on neighbor_id."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    vec = _vectors_spread(spark, sf_dir)
+    arms = []
+    for d in MRL_DIMS:
+        tv = vec.select(
+            "vec_id", F.slice(F.col("v"), 1, d).alias("t")
+        ).withColumn("n2", l2_norm(F.col("t")))
+        queries = tv.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("t").alias("qt"),
+            F.col("n2").alias("qn"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc(
+                (dot_product(F.col("qt"), F.col("t")) / (F.col("qn") * F.col("n2")))
+            ),
+            F.asc("vec_id"),
+        )
+        tr = (
+            tv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .withColumn("hit", F.lit(1))
+        )
+        arms.append(
+            bf.join(tr, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+                F.round(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall"),
+            )
+            .select(
+                F.lit(d).cast("long").alias("mrl_dim"),
+                "query_id",
+                "n_true",
+                "n_hits",
+                "recall",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("mrl_dim", "query_id")
