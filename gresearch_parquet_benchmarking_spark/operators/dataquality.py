@@ -1,0 +1,182 @@
+"""Declarative data-quality constraint suite — the Deequ/Great-
+Expectations-shaped validation pass a production pipeline runs on
+every ingest before letting data downstream (Schelter et al. 2018,
+"Automating Large-Scale Data Quality Verification", VLDB — the Spark
+system this operator models).
+
+One query = one suite: each constraint evaluates to a single audit row
+(constraint, table, rows checked, violations, pass flag), and the
+suite is the union. Constraints cover the canonical families:
+
+* uniqueness        — primary key duplicate count
+* completeness      — NOT NULL coverage
+* referential       — orphan foreign keys (anti-join)
+* domain            — value ∈ enumerated set
+* range             — numeric bounds
+* format            — regex shape of a string payload
+* consistency       — cross-column functional dependency
+
+Scale shape: every membership/range/format check is a map-side
+predicate folded into ONE aggregation per table (no per-constraint
+rescan of the same table: violations are conditional sums sharing a
+single pass). The only join is the referential check — a key-only
+anti join Spark plans as broadcast or shuffled-hash by size. The
+result is O(#constraints) rows regardless of data volume, and the
+whole suite is embarrassingly parallel across tables at 100 TB.
+
+Determinism: every output is an integer count or a boolean derived
+from one — no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators.registry import query
+from gresearch_parquet_benchmarking_spark.sources.events import load_events
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+_PROPS_RE = '^\\{"k": [0-9]+\\}$'
+
+
+def _row(constraint: str, tbl: str, n_rows, n_viol) -> list:
+    return [
+        F.lit(constraint).alias("check_name"),
+        F.lit(tbl).alias("tbl"),
+        n_rows.cast("long").alias("n_rows"),
+        n_viol.cast("long").alias("n_violations"),
+        (n_viol == 0).alias("passed"),
+    ]
+
+
+def _viol(cond) -> F.Column:
+    """Conditional violation counter: rows where ``cond`` (the
+    VIOLATION predicate) holds; NULL predicate counts as violation."""
+    return F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0))
+
+
+@query(
+    "dq_constraint_suite",
+    oracle=f"""
+    WITH o AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_pk,
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS bad_status,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+        FROM orders
+    ),
+    l AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_qty,
+               CAST(SUM(CASE WHEN l_discount IS NULL
+                              OR l_discount < 0 OR l_discount > 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+        FROM lineitem
+    ),
+    orph AS (
+        SELECT COUNT(*) AS n_orphans
+        FROM lineitem li
+        WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                          WHERE oo.o_orderkey = li.l_orderkey)
+    ),
+    e AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN props IS NULL
+                              OR NOT regexp_matches(props, '{_PROPS_RE}')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_props
+        FROM events
+    ),
+    d AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN n_chars IS NULL OR text IS NULL
+                              OR n_chars != LENGTH(text)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_len
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT 'pk_unique' AS check_name, 'orders' AS tbl,
+               o.n AS n_rows, CAST(o.dup_pk AS BIGINT) AS n_violations,
+               o.dup_pk = 0 AS passed FROM o
+        UNION ALL
+        SELECT 'status_domain', 'orders', o.n, o.bad_status,
+               o.bad_status = 0 FROM o
+        UNION ALL
+        SELECT 'price_positive', 'orders', o.n, o.bad_price,
+               o.bad_price = 0 FROM o
+        UNION ALL
+        SELECT 'qty_complete', 'lineitem', l.n, l.null_qty,
+               l.null_qty = 0 FROM l
+        UNION ALL
+        SELECT 'discount_range', 'lineitem', l.n, l.bad_disc,
+               l.bad_disc = 0 FROM l
+        UNION ALL
+        SELECT 'orderkey_ri', 'lineitem', l.n,
+               CAST(orph.n_orphans AS BIGINT),
+               orph.n_orphans = 0 FROM l CROSS JOIN orph
+        UNION ALL
+        SELECT 'props_format', 'events', e.n, e.bad_props,
+               e.bad_props = 0 FROM e
+        UNION ALL
+        SELECT 'nchars_consistent', 'documents', d.n, d.bad_len,
+               d.bad_len = 0 FROM d
+    ) u
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full constraint suite; one audit row per constraint.
+    Per-table constraints share a single scan (conditional sums in one
+    aggregate); the referential check anti-joins lineitem's key column
+    against orders' key column only."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # events through the schema-adaptive loader (CLAUDE.md rule 4) even
+    # though only props is read — the raw footer's TIMESTAMP(NANOS)
+    # layout must never leak into a query's analysis
+    ev = load_events(spark, sf_dir)
+    doc = load_table(spark, sf_dir, "documents")
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        _viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        _viol(F.col("o_totalprice") <= 0).alias("bad_price"),
+    )
+    l = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _viol(F.col("l_quantity").isNull()).alias("null_qty"),
+        _viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_disc"),
+    )
+    orph = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    e = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        _viol(~F.col("props").rlike(_PROPS_RE)).alias("bad_props"),
+    )
+    d = doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        _viol(F.col("n_chars") != F.length("text")).alias("bad_len"),
+    )
+
+    rows = [
+        o.select(*_row("pk_unique", "orders", F.col("n"), F.col("dup_pk"))),
+        o.select(*_row("status_domain", "orders", F.col("n"), F.col("bad_status"))),
+        o.select(*_row("price_positive", "orders", F.col("n"), F.col("bad_price"))),
+        l.select(*_row("qty_complete", "lineitem", F.col("n"), F.col("null_qty"))),
+        l.select(*_row("discount_range", "lineitem", F.col("n"), F.col("bad_disc"))),
+        l.crossJoin(F.broadcast(orph)).select(
+            *_row("orderkey_ri", "lineitem", F.col("n"), F.col("n_orphans"))
+        ),
+        e.select(*_row("props_format", "events", F.col("n"), F.col("bad_props"))),
+        d.select(*_row("nchars_consistent", "documents", F.col("n"), F.col("bad_len"))),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("check_name")

@@ -87,6 +87,8 @@ _MODULE_ORDER = [
     "operators.quality",
     "operators.similarity",
     "operators.retrieval",
+    "operators.dataquality",
+    "streaming.trending",
 ]
 _PKG = "gresearch_parquet_benchmarking_spark"
 _MODULE_RANK = {f"{_PKG}.{m}": i for i, m in enumerate(_MODULE_ORDER)}
@@ -162,7 +164,9 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         retrieval,
+        dataquality,
     )
+    from gresearch_parquet_benchmarking_spark.streaming import trending  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

@@ -2308,3 +2308,91 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("mrl_dim", "query_id")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 6)
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 5
+
+
+@query(
+    "ann_hard_negative_mining",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, a.label AS query_label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_SQL_COS} AS cos
+        FROM vecs a JOIN vecs b
+          ON b.vec_id != a.vec_id AND b.label != a.label
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS BIGINT)
+                   AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+           neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
+           ROUND(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= {HARDNEG_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-k most
+    COSINE-SIMILAR corpus vectors with a DIFFERENT label — the
+    candidates that sit closest to the decision boundary. This is the
+    negative-sampling step of contrastive retrieval training (DPR /
+    ANCE style): random negatives are trivially separable, so the
+    training signal comes from exactly the pairs this query surfaces.
+
+    Scale shape: identical to ann_topk_bruteforce (broadcast query
+    set, one corpus scan, map-side dot folds, per-query top-k window)
+    — the label inequality is applied IN the join condition, so
+    same-label pairs never materialize. In production the scorer side
+    swaps to the IVF/PQ candidate generator unchanged; the mining
+    semantics live entirely in the label predicate + ranking.
+    Determinism: carried-norm IEEE cosine, rounded after ranking,
+    neighbor_id tiebreaker."""
+    vec = _vectors_spread(spark, sf_dir).withColumn("n2", l2_norm(F.col("v")))
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+    )
+    scored = vec.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        (dot_product(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n2"))).alias(
+            "cos"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "query_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("long").alias("neighbor_label"),
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
