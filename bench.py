@@ -115,6 +115,15 @@ FULL_ONLY_QUERIES = [
     "basket_part_affinity",
     "supplier_concentration_hhi",
     "stream_user_latest_state",
+    # r6 late additions (retrieval/linkage/graph/DQ surface)
+    "text_bm25_search",
+    "fuzzy_join_part_names",
+    "graph_triangle_count",
+    "events_rfm_scores",
+    "embedding_matryoshka_recall",
+    "ann_hard_negative_mining",
+    "dq_constraint_suite",
+    "stream_topk_trending",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are
