@@ -124,6 +124,8 @@ FULL_ONLY_QUERIES = [
     "ann_hard_negative_mining",
     "dq_constraint_suite",
     "stream_topk_trending",
+    "ann_knn_classifier_eval",
+    "events_power_user_concentration",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

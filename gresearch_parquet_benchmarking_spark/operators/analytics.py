@@ -1028,3 +1028,97 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-user concentration (round 6)
+# ---------------------------------------------------------------------------
+
+TOP_SHARE_PCT = 10  # "top X% of users" concentration band
+
+
+@query(
+    "events_power_user_concentration",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(CEIL(COUNT(*) * {TOP_SHARE_PCT} / 100.0) AS BIGINT) AS k_top
+        FROM per_user
+    ),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS r
+        FROM per_user
+    ),
+    top AS (
+        SELECT CAST(SUM(ranked.n) AS BIGINT) AS top_events
+        FROM ranked CROSS JOIN tot WHERE ranked.r <= tot.k_top
+    )
+    SELECT tot.n_users, tot.n_events, tot.k_top,
+           CAST(quantile_cont(per_user.n, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(per_user.n, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_cont(per_user.n, 0.99) AS DOUBLE) AS p99,
+           CAST(MAX(per_user.n) AS BIGINT) AS max_events,
+           ROUND(top.top_events * 1.0 / tot.n_events, 6) AS top_share
+    FROM per_user CROSS JOIN tot CROSS JOIN top
+    GROUP BY tot.n_users, tot.n_events, tot.k_top, top.top_events
+    """,
+)
+def events_power_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration audit: the per-user event-count
+    distribution (P50/P90/P99/max) plus the share of ALL events
+    generated by the top {TOP_SHARE_PCT}% heaviest users — the number
+    that predicts hot-key skew in every user_id-keyed shuffle
+    downstream (and the first thing to check before sizing salting
+    thresholds like interval_overlap_users').
+
+    Scale shape: one user-keyed count (map-side partials); the
+    percentile + max aggregate runs over |users| rows; the top-k
+    share needs one rank over the same |users|-row table — a global
+    sort of the AGGREGATE, never of the raw events. Output is one
+    row. Determinism: integer counts; quantile_cont ≙ F.percentile
+    (both linear interpolation on exact integers); ranking ties break
+    on user_id; shares are single double divisions."""
+    ev = load_events(spark, sf_dir).select("user_id")
+    per_user = track_persist(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.ceil(F.count(F.lit(1)) * TOP_SHARE_PCT / 100.0)
+        .cast("long")
+        .alias("k_top"),
+    )
+    ranked = per_user.select(
+        "n", F.row_number().over(W.orderBy(F.desc("n"), F.asc("user_id"))).alias("r")
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(tot.select("k_top")))
+        .filter(F.col("r") <= F.col("k_top"))
+        .agg(F.sum("n").cast("long").alias("top_events"))
+    )
+    dist = per_user.agg(
+        F.percentile("n", F.lit(0.5)).cast("double").alias("p50"),
+        F.percentile("n", F.lit(0.9)).cast("double").alias("p90"),
+        F.percentile("n", F.lit(0.99)).cast("double").alias("p99"),
+        F.max("n").cast("long").alias("max_events"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(dist))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_users",
+            "n_events",
+            "k_top",
+            "p50",
+            "p90",
+            "p99",
+            "max_events",
+            F.round(F.col("top_events") * F.lit(1.0) / F.col("n_events"), 6).alias(
+                "top_share"
+            ),
+        )
+    )

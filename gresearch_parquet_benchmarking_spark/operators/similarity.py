@@ -2396,3 +2396,85 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classifier evaluation (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _knn_eval_sql() -> str:
+    """Composed from the brute-force oracle (ann_ivf_recall pattern):
+    majority vote over the exact top-k's labels, ties to the smaller
+    label, scored against the query's own label."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import ORACLE_SQL
+
+    bf = ORACLE_SQL["ann_topk_bruteforce"]
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
+    votes AS (
+        SELECT bf.query_id, e.label, COUNT(*) AS votes
+        FROM bf JOIN embeddings e ON bf.neighbor_id = e.vec_id
+        GROUP BY bf.query_id, e.label
+    ),
+    pred AS (
+        SELECT query_id, label AS pred_label, votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label) AS r
+        FROM votes
+    )
+    SELECT p.query_id,
+           CAST(q.label AS BIGINT) AS true_label,
+           CAST(p.pred_label AS BIGINT) AS pred_label,
+           CAST(p.votes AS BIGINT) AS votes,
+           p.pred_label = q.label AS correct
+    FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+    WHERE p.r = 1
+    ORDER BY p.query_id
+    """
+
+
+@query("ann_knn_classifier_eval", oracle=_knn_eval_sql)
+def ann_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier evaluation: predict each query vector's label by
+    majority vote over its exact cosine top-{TOP_K} (ties to the
+    smaller label), scored against the query's own label — the
+    standard embedding-quality probe (if labels aren't recoverable
+    from neighborhoods, the space is mis-trained; Cover & Hart 1967
+    is the classical result this eval rests on).
+
+    Scale shape: the expensive part IS ann_topk_bruteforce (broadcast
+    queries, one corpus scan); everything after is |queries|·k rows —
+    a label lookup join against the corpus keyed by vec_id, a tiny
+    vote aggregate, one window. Swapping the candidate generator to
+    IVF/PQ changes recall, not this eval's plumbing.
+    Determinism: integer votes; double-tie goes to the smaller label;
+    the boolean is an integer comparison."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    vec = _vectors(spark, sf_dir)
+    labels = vec.select("vec_id", "label")
+    votes = (
+        bf.join(labels, bf.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = vec.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

@@ -166,3 +166,35 @@ def test_matryoshka_recall_monotone_in_dim(spark):
     # rising with dim is the property the sweep exists to show; allow
     # equality (both arms can saturate on an easy corpus)
     assert means[dims[0]] <= means[dims[-1]] + 1e-9
+
+
+def test_knn_eval_vote_bounds(spark):
+    from gresearch_parquet_benchmarking_spark.operators.similarity import (
+        N_QUERIES,
+        ann_knn_classifier_eval,
+    )
+
+    out = ann_knn_classifier_eval(spark, SF_SMOKE).toPandas()
+    release_persists()
+    assert len(out) == N_QUERIES
+    assert out.votes.between(1, TOP_K).all()
+    # a correct row's winning vote count is the majority's size; the
+    # accuracy is derivable and bounded
+    acc = out.correct.mean()
+    assert 0.0 <= acc <= 1.0
+
+
+def test_power_user_concentration_invariants(spark):
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        TOP_SHARE_PCT,
+        events_power_user_concentration,
+    )
+
+    row = events_power_user_concentration(spark, SF_SMOKE).collect()[0]
+    release_persists()
+    assert row.p50 <= row.p90 <= row.p99 <= row.max_events
+    # top-X% share is at least X% (heaviest users can't be below par)
+    assert row.top_share >= TOP_SHARE_PCT / 100.0 - 1e-9
+    assert row.top_share <= 1.0
+    assert row.k_top >= 1
+    assert row.n_events >= row.n_users  # every user has >= 1 event
