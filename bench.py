@@ -126,6 +126,7 @@ FULL_ONLY_QUERIES = [
     "stream_topk_trending",
     "ann_knn_classifier_eval",
     "events_power_user_concentration",
+    "event_funnel_latency",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are
@@ -589,8 +590,14 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
     prev_batch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
     try:
+        # trials=7/warmups=2 like the READ_COLS >=1000c scans: this row
+        # runs right after the codec section churns the page cache, and
+        # a 3-trial window lands on the re-read/GC transient (measured
+        # 8.7-9.3 s in-bench vs a 5.2-5.6 s steady state in isolation,
+        # 2026-08-14); the wider window measures the steady state the
+        # row claims.
         measured(out, "io_fullread_10000c",
-                 lambda: eio.read_full_timed(spark, path), trials=3, warmups=1)
+                 lambda: eio.read_full_timed(spark, path), trials=7, warmups=2)
     finally:
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
 

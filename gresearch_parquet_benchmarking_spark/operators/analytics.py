@@ -1122,3 +1122,113 @@ def events_power_user_concentration(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_funnel_latency",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS v
+        FROM e
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= v THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS c
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= c THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS p
+        FROM w2
+    ),
+    u AS (
+        SELECT user_id, MAX(v) AS v, MAX(c) AS c, MAX(p) AS p
+        FROM w3 GROUP BY user_id
+    ),
+    lat AS (
+        SELECT 'view_to_click' AS stage, c - v AS lat_us FROM u WHERE c IS NOT NULL
+        UNION ALL
+        SELECT 'click_to_purchase', p - c FROM u WHERE p IS NOT NULL
+    )
+    SELECT stage,
+           COUNT(*) AS n_users,
+           ROUND(CAST(quantile_cont(lat_us, 0.5) AS DOUBLE) / 1000000.0, 6) AS p50_s,
+           ROUND(CAST(quantile_cont(lat_us, 0.9) AS DOUBLE) / 1000000.0, 6) AS p90_s,
+           ROUND(CAST(MAX(lat_us) AS DOUBLE) / 1000000.0, 6) AS max_s
+    FROM lat
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
+def event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel stages: for users who progressed,
+    the latency from first view to the first click at-or-after it, and
+    from that click to the first purchase at-or-after it — P50/P90/max
+    in seconds. The "how fast" companion to event_funnel_conversion's
+    "how many": the number a growth team reads before changing a flow.
+
+    Scale shape: the same single user_id window exchange as the funnel
+    (three chained conditional MINs), one per-user rollup, then
+    percentiles over the per-USER latency table (|converted users|
+    rows, never raw events). Latencies are exact integer µs;
+    percentile ≙ quantile_cont (linear interpolation on exact ints);
+    the /1e6 is one IEEE division after interpolation."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    wu = W.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(wu)
+    e1 = ev.withColumn("v", v)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") >= F.col("v")),
+            F.col("ts_us"),
+        )
+    ).over(wu)
+    e2 = e1.withColumn("c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("c")),
+            F.col("ts_us"),
+        )
+    ).over(wu)
+    e3 = e2.withColumn("p", p)
+    # persist the per-user rollup: both latency branches read it, and
+    # without the boundary each would re-run the events scan + the
+    # three-window exchange (the winnowing projection-collapse lesson)
+    u = track_persist(
+        e3.groupBy("user_id").agg(
+            F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+        )
+    )
+    lat = (
+        u.filter(F.col("c").isNotNull())
+        .select(F.lit("view_to_click").alias("stage"), (F.col("c") - F.col("v")).alias("lat_us"))
+        .unionByName(
+            u.filter(F.col("p").isNotNull()).select(
+                F.lit("click_to_purchase").alias("stage"),
+                (F.col("p") - F.col("c")).alias("lat_us"),
+            )
+        )
+    )
+    return (
+        lat.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.percentile("lat_us", F.lit(0.5)).cast("double") / 1e6, 6
+            ).alias("p50_s"),
+            F.round(
+                F.percentile("lat_us", F.lit(0.9)).cast("double") / 1e6, 6
+            ).alias("p90_s"),
+            F.round(F.max("lat_us").cast("double") / 1e6, 6).alias("max_s"),
+        )
+        .orderBy("stage")
+    )

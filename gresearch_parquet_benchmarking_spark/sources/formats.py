@@ -61,3 +61,19 @@ def iceberg_table(spark: SparkSession, table: str) -> DataFrame:
             "classpath. Not available in this environment; parquet is "
             "the supported table format."
         ) from ex
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every parquet file
+    under ``path`` (Spark's ``mergeSchema``), so batches written before
+    a column was added coexist with batches written after — the
+    standard append-only ingestion contract. Columns absent from a
+    file surface as NULL for its rows.
+
+    Scale note: mergeSchema makes PLANNING read every file's footer
+    (that cost is exactly what the reference's §1 footer benchmarks
+    measure, and why the session default is mergeSchema=false); the
+    production pattern is to enable it per-read on evolving datasets
+    or pin the merged schema in a catalog. Data-page reads are
+    unaffected — missing columns are synthesized as NULL map-side."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -79,3 +79,28 @@ def test_overlap_pairs_salt_guard_correct_and_partitioned(spark, monkeypatch):
     plan = formatted_plan(analytics._overlap_pairs(binned))
     release_persists()
     assert "salt" in plan, plan
+
+
+def test_funnel_latency_invariants(spark):
+    """Latency percentiles ordered; converter counts consistent with
+    the funnel's own stage counts (purchase-converters ⊆
+    click-converters); all latencies non-negative."""
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        event_funnel_conversion,
+        event_funnel_latency,
+    )
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        release_persists,
+    )
+
+    lat = {r.stage: r for r in event_funnel_latency(spark, SF_SMOKE).collect()}
+    release_persists()
+    fun = event_funnel_conversion(spark, SF_SMOKE).collect()[0]
+    release_persists()
+    v2c, c2p = lat["view_to_click"], lat["click_to_purchase"]
+    for r in (v2c, c2p):
+        assert 0.0 <= r.p50_s <= r.p90_s <= r.max_s
+    # the latency table's populations ARE the funnel's stage counts
+    assert v2c.n_users == fun.n_click_after_view
+    assert c2p.n_users == fun.n_purchase_after_click
+    assert c2p.n_users <= v2c.n_users

@@ -119,3 +119,26 @@ def test_gbench_json_roundtrip(spark, workdir):
     assert parsed[0].arg0 == 2000 and parsed[0].arg1 is None
     assert parsed[2].arg0 == 3000 and parsed[2].arg1 == 3000
     assert abs(parsed[0].real_time_ms - 15.19) < 1e-9
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Two append batches with evolving schema: the merged read sees
+    the union schema, old rows NULL-fill the new column, and a
+    non-merged read of the union still serves the ORIGINAL columns
+    (additive evolution never breaks existing readers)."""
+    from gresearch_parquet_benchmarking_spark.sources.formats import (
+        read_merged_schema,
+    )
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "id long, v string, score double"
+    ).write.mode("append").parquet(d)
+
+    merged = read_merged_schema(spark, d)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score is None
+    assert rows[3].score == 30.0 and rows[4].score == 40.0
+    assert len(rows) == 4
