@@ -127,6 +127,7 @@ FULL_ONLY_QUERIES = [
     "ann_knn_classifier_eval",
     "events_power_user_concentration",
     "event_funnel_latency",
+    "events_daily_anomaly_mad",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are
@@ -134,7 +135,7 @@ FULL_ONLY_QUERIES = [
 # layout-evidence diagnostics, not comparable workload rows — the
 # 1-row-group pageread row would otherwise silently inflate the
 # round-over-round metric; ADVICE r5 #2).
-FULL_ONLY_PREFIXES = ("io_pageread_task_1rg_",)
+FULL_ONLY_PREFIXES = ("io_pageread_task_1rg_", "io_schemaplan_")
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
 # comparison grid); everything else still lands in
@@ -502,6 +503,32 @@ def bench_io(spark) -> dict[str, float]:
         spark.catalog.clearCache()
         measured(out, "io_dec_brotli_1000c_spark",
                  lambda: eio.read_arrow_codec_timed(spark, bspark_path))
+
+    # Schema-evolution planning cost (sources/formats.py
+    # read_merged_schema): mergeSchema reads EVERY footer at plan time
+    # (a distributed footer-merge job), a pinned schema reads none —
+    # the pair quantifies why evolving 100 TB datasets pin the merged
+    # schema in a catalog. io_schemaplan_ prefix keeps both rows out
+    # of the headline total (FULL_ONLY_PREFIXES).
+    from gresearch_parquet_benchmarking_spark.bench.fixtures import (
+        ensure_evolving_fixture,
+    )
+
+    evo = ensure_evolving_fixture(200)
+    pinned = spark.read.option("mergeSchema", "true").parquet(evo).schema
+
+    def _plan_merged() -> float:
+        t0 = time.perf_counter()
+        spark.read.option("mergeSchema", "true").parquet(evo).schema
+        return time.perf_counter() - t0
+
+    def _plan_pinned() -> float:
+        t0 = time.perf_counter()
+        spark.read.schema(pinned).parquet(evo).schema
+        return time.perf_counter() - t0
+
+    measured(out, "io_schemaplan_merge_200f", _plan_merged)
+    measured(out, "io_schemaplan_pinned_200f", _plan_pinned)
     return out
 
 

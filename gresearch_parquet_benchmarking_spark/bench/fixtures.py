@@ -78,3 +78,32 @@ def ensure_wide_fixture(
     pq.write_table(table, tmp, **kwargs)
     os.replace(tmp, path)
     return path
+
+
+def ensure_evolving_fixture(n_files: int = 200, rows_per_file: int = 100) -> str:
+    """A directory of ``n_files`` small parquet files with an EVOLVED
+    schema: the first half carry (id, v), the second half add a
+    ``score`` column — the append-only ingestion shape that forces
+    ``mergeSchema`` to read every footer at planning time. Used to
+    measure what schema evolution costs at plan time vs a pinned
+    schema (sources/formats.py read_merged_schema rationale); the
+    file COUNT, not the row count, is the variable under test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(DEFAULT_CACHE, f"evolving_{n_files}f_{rows_per_file}r")
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_files):
+        ids = pa.array(range(i * rows_per_file, (i + 1) * rows_per_file), pa.int64())
+        cols = {"id": ids, "v": pa.array([f"v{j}" for j in range(rows_per_file)])}
+        if i >= n_files // 2:
+            cols["score"] = pa.array(
+                [float(j % 7) for j in range(rows_per_file)], pa.float64()
+            )
+        pq.write_table(pa.table(cols), os.path.join(d, f"part-{i:05d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d

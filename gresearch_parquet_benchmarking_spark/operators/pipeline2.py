@@ -601,3 +601,83 @@ def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+MAD_CONSISTENCY = 0.6745   # Φ⁻¹(0.75): MAD→σ consistency constant
+MAD_OUTLIER_Z = 3.5        # Iglewicz & Hoaglin's modified-z cutoff
+
+
+@query(
+    "events_daily_anomaly_mad",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, {sql_iso_date("date_trunc('day', ts)")} AS day,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(quantile_cont(n, 0.5) AS DOUBLE) AS med
+        FROM daily GROUP BY event_type
+    ),
+    mad AS (
+        SELECT d.event_type,
+               CAST(quantile_cont(ABS(d.n - m.med), 0.5) AS DOUBLE) AS mad
+        FROM daily d JOIN med m USING (event_type)
+        GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           ROUND({MAD_CONSISTENCY} * (d.n - m.med) / NULLIF(a.mad, 0.0), 6)
+               AS robust_z,
+           COALESCE(ABS({MAD_CONSISTENCY} * (d.n - m.med) / NULLIF(a.mad, 0.0))
+                    > {MAD_OUTLIER_Z}, FALSE) AS is_outlier
+    FROM daily d JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly scores: modified z = 0.6745·(n −
+    median)/MAD per event type, flagged at |z| > 3.5 (Iglewicz &
+    Hoaglin 1993, "How to Detect and Handle Outliers") — the variant a
+    production monitor actually runs, because events_daily_anomaly's
+    mean/σ z-score lets one giant spike inflate σ enough to mask
+    itself, while median/MAD have a 50% breakdown point.
+
+    Scale shape: the same daily rollup as the mean/σ twin, then two
+    |types|-key percentile aggregations over the |types|·|days| table
+    (metadata-sized at any event volume) joined back broadcast-small.
+    Determinism: medians are quantile_cont ≙ F.percentile on exact
+    integers; the score is one IEEE tree; MAD=0 (constant series)
+    yields NULL score and FALSE flag via the same NULLIF/COALESCE on
+    both engines."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", iso_date(F.date_trunc("day", "ts_ts"), alias="day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = track_persist(daily)
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).cast("double").alias("med")
+    )
+    with_med = daily.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5))
+        .cast("double")
+        .alias("mad")
+    )
+    z = F.lit(MAD_CONSISTENCY) * (F.col("n") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0.0)
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(z, 6).alias("robust_z"),
+            F.coalesce(
+                F.abs(z) > MAD_OUTLIER_Z, F.lit(False)
+            ).alias("is_outlier"),
+        )
+        .orderBy("event_type", "day")
+    )

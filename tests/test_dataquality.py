@@ -127,3 +127,49 @@ def test_trending_topk_shares_and_ranks(spark):
         assert grp.share.sum() <= 1.0 + 1e-9
     # windows are 6h-aligned
     assert (out.window_start_us % (6 * 3600 * 1_000_000) == 0).all()
+
+
+def test_mad_anomaly_flags_planted_spike(spark, tmp_path):
+    """A 14-day constant series plus one 20x spike day: the spike gets
+    |modified z| > 3.5 and the flag; constant days score ~0. A fully
+    constant series (second type) has MAD=0 -> NULL score, FALSE flag."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gresearch_parquet_benchmarking_spark.operators.pipeline2 import (
+        events_daily_anomaly_mad,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(14):
+        # varied baseline (10..14): a constant one would make MAD
+        # itself 0 (>50% identical residuals) and NULL the spike score
+        n = 200 if day == 7 else 10 + day % 5
+        for i in range(n):
+            rows.append((eid, pd.Timestamp(2024, 1, 1 + day, 12, 0, i % 60),
+                         eid % 5, "view", 1.0, '{"k": 1}'))
+            eid += 1
+        # constant control series: 3 events every day
+        for i in range(3):
+            rows.append((eid, pd.Timestamp(2024, 1, 1 + day, 13, 0, i),
+                         eid % 5, "click", 1.0, '{"k": 1}'))
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "madspike"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "events.parquet")
+
+    out = events_daily_anomaly_mad(spark, str(d)).toPandas()
+    release_persists()
+    views = out[out.event_type == "view"].set_index("day")
+    assert bool(views.loc["2024-01-08", "is_outlier"])
+    assert abs(views.loc["2024-01-08", "robust_z"]) > 3.5
+    normal = views.drop(index="2024-01-08")
+    assert (~normal.is_outlier).all()
+    clicks = out[out.event_type == "click"]
+    assert clicks.robust_z.isna().all()      # MAD = 0 -> NULL score
+    assert (~clicks.is_outlier).all()        # and never flagged
