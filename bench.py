@@ -128,6 +128,8 @@ FULL_ONLY_QUERIES = [
     "events_power_user_concentration",
     "event_funnel_latency",
     "events_daily_anomaly_mad",
+    "drift_ks_doc_length",
+    "drift_psi_doc_length",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -88,6 +88,7 @@ _MODULE_ORDER = [
     "operators.similarity",
     "operators.retrieval",
     "operators.dataquality",
+    "operators.drift",
     "streaming.trending",
 ]
 _PKG = "gresearch_parquet_benchmarking_spark"
@@ -165,6 +166,7 @@ def _ensure_loaded() -> None:
         relational2,
         retrieval,
         dataquality,
+        drift,
     )
     from gresearch_parquet_benchmarking_spark.streaming import trending  # noqa: F401
 

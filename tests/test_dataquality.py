@@ -173,3 +173,62 @@ def test_mad_anomaly_flags_planted_spike(spark, tmp_path):
     clicks = out[out.event_type == "click"]
     assert clicks.robust_z.isna().all()      # MAD = 0 -> NULL score
     assert (~clicks.is_outlier).all()        # and never flagged
+
+
+def _write_docs(tmp_path, name, lengths_a, lengths_b):
+    """documents.parquet with n_chars = lengths_a on even doc_ids,
+    lengths_b on odd (the drift pair's two halves)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i, n in enumerate(lengths_a):
+        rows.append((2 * i, "x" * int(n), "en", "src0", int(n)))
+    for i, n in enumerate(lengths_b):
+        rows.append((2 * i + 1, "x" * int(n), "en", "src0", int(n)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
+    return str(d)
+
+
+def test_drift_null_calibration_same_distribution(spark, tmp_path):
+    from gresearch_parquet_benchmarking_spark.operators.drift import (
+        drift_ks_doc_length,
+        drift_psi_doc_length,
+    )
+
+    lengths = [50 + (i * 37) % 400 for i in range(300)]
+    d = _write_docs(tmp_path, "same", lengths, lengths)
+    ks = drift_ks_doc_length(spark, d).collect()[0]
+    assert ks.ks_stat == 0.0 and not ks.drift_detected
+    psi = drift_psi_doc_length(spark, d).collect()[0]
+    assert psi.psi == 0.0 and not psi.drift_detected
+
+
+def test_drift_detects_planted_shift(spark, tmp_path):
+    from gresearch_parquet_benchmarking_spark.operators.drift import (
+        drift_ks_doc_length,
+        drift_psi_doc_length,
+    )
+
+    base = [50 + (i * 37) % 400 for i in range(300)]
+    shifted = [n + 500 for n in base]  # wholesale location shift
+    d = _write_docs(tmp_path, "shifted", base, shifted)
+    ks = drift_ks_doc_length(spark, d).collect()[0]
+    assert ks.drift_detected and ks.ks_stat == 1.0  # disjoint supports
+    psi = drift_psi_doc_length(spark, d).collect()[0]
+    assert psi.drift_detected and psi.psi > 0.2
+
+
+def test_drift_real_corpus_halves_do_not_drift(spark):
+    from gresearch_parquet_benchmarking_spark.operators.drift import (
+        drift_ks_doc_length,
+    )
+
+    row = drift_ks_doc_length(spark, SF_SMOKE).collect()[0]
+    # even/odd halves of one generator are exchangeable
+    assert not row.drift_detected
+    assert row.n_a + row.n_b > 0
