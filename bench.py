@@ -130,6 +130,7 @@ FULL_ONLY_QUERIES = [
     "events_daily_anomaly_mad",
     "drift_ks_doc_length",
     "drift_psi_doc_length",
+    "dedup_containment_bottomk",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

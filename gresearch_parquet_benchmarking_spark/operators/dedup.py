@@ -86,6 +86,21 @@ def _corpus(
         mutated = F.concat_ws(" ", F.reverse(toks))
     elif transform == "neardup":
         mutated = F.concat_ws(" ", F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))))
+    elif transform == "excerpt":
+        # first third of the tokens: a CONTAINED quote whose Jaccard to
+        # its source is ~1/3 (below every near-dup bar) but whose
+        # containment is ~1 — the case dedup_containment_bottomk exists
+        # to catch
+        mutated = F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    F.floor(F.size(toks) / F.lit(3)).cast("int"), F.lit(1)
+                ),
+            ),
+        )
     else:
         raise ValueError(transform)
     planted = (
@@ -105,6 +120,10 @@ def _sql_corpus(transform: str) -> str:
         "exact": "text",
         "reversed": "array_to_string(list_reverse(string_split(text, ' ')), ' ')",
         "neardup": "array_to_string(string_split(text, ' ')[3:], ' ')",
+        "excerpt": (
+            "array_to_string(string_split(text, ' ')"
+            "[1:GREATEST(LEN(string_split(text, ' ')) // 3, 1)], ' ')"
+        ),
     }[transform]
     return f"""
     SELECT doc_id, text, lang, source FROM documents
@@ -554,5 +573,131 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (round 6): the near-SUPERSET pairs Jaccard misses
+# ---------------------------------------------------------------------------
+
+CONTAIN_K = 4       # bottom-k sketch size (postings per doc)
+CONTAIN_MIN = 0.8   # exact-containment acceptance threshold
+
+_SQL_CONTAIN_SKETCH = f"""
+    corpus AS ({{corpus}}),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES.replace('toks', "string_split(text, ' ')")} AS shingles
+        FROM corpus
+    ),
+    sk AS (
+        SELECT doc_id, shingles,
+               list_sort(list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))
+                   [1:{CONTAIN_K}] AS hs
+        FROM sh WHERE LEN(shingles) > 0
+    )
+"""
+
+
+@query(
+    "dedup_containment_bottomk",
+    oracle=f"""
+    WITH {_SQL_CONTAIN_SKETCH.format(corpus=_sql_corpus('excerpt'))},
+    posts AS (SELECT doc_id, unnest(hs) AS h FROM sk),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM posts a JOIN posts b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard,
+           ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / LEAST(LEN(sa.shingles), LEN(sb.shingles)), 6) AS containment,
+           CASE WHEN LEN(sa.shingles) <= LEN(sb.shingles)
+                THEN c.doc_a ELSE c.doc_b END AS contained_doc
+    FROM cand c
+    JOIN sk sa ON sa.doc_id = c.doc_a
+    JOIN sk sb ON sb.doc_id = c.doc_b
+    WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / LEAST(LEN(sa.shingles), LEN(sb.shingles)) >= {CONTAIN_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: pairs where the SMALLER doc's
+    shingles are ≥{CONTAIN_MIN} covered by the larger's — quotes,
+    excerpts, and boilerplate inclusions whose symmetric Jaccard sits
+    far below every near-dup threshold (Broder 1997 distinguishes
+    resemblance from CONTAINMENT for exactly this case; the planted
+    corpus adds first-third excerpts with Jaccard ≈ 1/3). MinHash-LSH
+    cannot surface these (band collision probability tracks Jaccard),
+    so candidates come from a bottom-k shingle-hash sketch instead:
+    each doc posts its {CONTAIN_K} smallest 32-bit shingle hashes; a
+    contained doc's smallest hashes are a subsample of its container's
+    hash set, so subset pairs collide with high probability regardless
+    of the size ratio.
+
+    Scale shape: {CONTAIN_K} constant-width posting rows per doc; the
+    candidate self-join shuffles on the hash value; exact verification
+    re-joins shingle arrays for candidates only (the LSH pipeline's
+    shape). Skew note: a corpus-wide boilerplate shingle that reaches
+    many docs' bottom-k creates a hot posting bucket — the adaptive
+    salting of analytics._overlap_pairs is the documented remedy when
+    a real corpus shows it; the synthetic corpus has no such shingle.
+    Determinism: md5 hashing (rule 3), integer set sizes, one IEEE
+    division per pair, ROUND(6), (doc_a, doc_b) output order."""
+    corpus = _corpus(spark, sf_dir, "excerpt")
+    toks = tokens_col("text")
+    sk = track_persist(
+        corpus.select("doc_id", _shingles(toks).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            "shingles",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("shingles"),
+                        lambda s: F.conv(
+                            F.substring(F.md5(s), 1, 8), 16, 10
+                        ).cast("bigint"),
+                    )
+                ),
+                1,
+                CONTAIN_K,
+            ).alias("hs"),
+        )
+    )
+    posts = sk.select("doc_id", F.explode("hs").alias("h"))
+    pa = posts.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    pb = posts.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    cand = (
+        pa.join(pb, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sk.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = sk.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_distinct(F.concat(F.col("sha"), F.col("shb"))))
+    containment = inter.cast("double") / F.least(
+        F.size("sha"), F.size("shb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(containment >= CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.round(containment, 6).alias("containment"),
+            F.when(F.size("sha") <= F.size("shb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
         .orderBy("doc_a", "doc_b")
     )

@@ -69,3 +69,31 @@ def test_semantic_dedup_prune_contract(spark):
     assert (out.cos >= similarity.SEMANTIC_DEDUP_COS).all()
     # pruning is strictly within a semantic cluster
     assert out.bucket.nunique() > 1
+
+
+def test_containment_finds_planted_excerpts_jaccard_misses(spark):
+    """Every recovered planted excerpt pair must show containment ~1
+    with the PLANTED doc as the contained side, and (for docs long
+    enough that the first third is a strict subset) a Jaccard BELOW
+    the 0.5 near-dup bar — the case this operator exists for."""
+    from gresearch_parquet_benchmarking_spark.operators.dedup import (
+        INJECT_OFFSET,
+        dedup_containment_bottomk,
+    )
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        release_persists,
+    )
+
+    out = dedup_containment_bottomk(spark, SF_SMOKE).toPandas()
+    release_persists()
+    planted = out[
+        (out.doc_b >= INJECT_OFFSET) & (out.doc_a == out.doc_b - INJECT_OFFSET)
+    ]
+    assert len(planted) > 0
+    # the excerpt's shingles are a subset of its source's -> containment 1
+    assert (planted.containment >= 0.999999).all()
+    assert (planted.contained_doc == planted.doc_b).all()
+    # most planted pairs sit below the near-dup Jaccard bar (docs with
+    # >= 9 tokens); require that the MAJORITY do, pinning the gap
+    assert (planted.jaccard < 0.5).mean() > 0.5
+    assert (out.containment >= 0.8).all()
