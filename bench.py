@@ -131,6 +131,7 @@ FULL_ONLY_QUERIES = [
     "drift_ks_doc_length",
     "drift_psi_doc_length",
     "dedup_containment_bottomk",
+    "stream_psi_value_drift",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -232,3 +232,24 @@ def test_drift_real_corpus_halves_do_not_drift(spark):
     # even/odd halves of one generator are exchangeable
     assert not row.drift_detected
     assert row.n_a + row.n_b > 0
+
+
+def test_stream_psi_null_calibration(spark):
+    """Event values are time-stationary in the generator, so no window
+    should PSI-drift against the full-history reference; PSI itself is
+    non-negative by construction ((q-p)ln(q/p) >= 0 per term)."""
+    from gresearch_parquet_benchmarking_spark.streaming.trending import (
+        stream_psi_value_drift,
+    )
+
+    out = stream_psi_value_drift(spark, SF_SMOKE).toPandas()
+    release_persists()
+    assert len(out) > 0
+    assert (out.psi >= 0).all()
+    # sf0.001 windows hold a handful of events each: every one must be
+    # caught by the minimum-sample guard, and a gated window can never
+    # flag drift regardless of its (floor-inflated) PSI
+    assert (~out.drift_detected[out.low_sample]).all()
+    assert (~out.drift_detected).all()
+    assert (out.n_events > 0).all()
+    assert (out.window_start_us % (6 * 3600 * 1_000_000) == 0).all()
