@@ -132,6 +132,7 @@ FULL_ONLY_QUERIES = [
     "drift_psi_doc_length",
     "dedup_containment_bottomk",
     "stream_psi_value_drift",
+    "graph_kcore_bounded",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -616,3 +616,118 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling (round 6)
+# ---------------------------------------------------------------------------
+
+K_CORE = 72        # degree threshold
+KCORE_ROUNDS = 3   # statically unrolled peel rounds (oracle-expressible)
+
+
+def _kcore_sql() -> str:
+    """Unrolled peel: round r keeps nodes whose degree over the
+    SURVIVING edge set is ≥ k, then drops edges touching removed
+    nodes. Generated by the same loop as the Spark builder (the
+    kmeans-oracle pattern)."""
+    parts = [
+        f"""
+    WITH e_0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for r in range(KCORE_ROUNDS):
+        parts.append(
+            f""",
+    keep_{r} AS (
+        SELECT node FROM (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT u AS node FROM e_{r}
+                UNION ALL SELECT v AS node FROM e_{r}
+            ) x GROUP BY node
+        ) d WHERE degree >= {K_CORE}
+    ),
+    e_{r + 1} AS (
+        SELECT e.u, e.v FROM e_{r} e
+        JOIN keep_{r} ka ON e.u = ka.node
+        JOIN keep_{r} kb ON e.v = kb.node
+    )"""
+        )
+    last = KCORE_ROUNDS
+    parts.append(
+        f"""
+    SELECT (SELECT COUNT(*) FROM keep_{last - 1}) AS n_nodes_remaining,
+           (SELECT COUNT(*) FROM e_{last}) AS n_edges_remaining,
+           CAST({KCORE_ROUNDS} AS BIGINT) AS n_rounds,
+           (SELECT COUNT(*) FROM e_{last}) = (SELECT COUNT(*) FROM e_{last - 1})
+               AS converged
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore_bounded", oracle=_kcore_sql)
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition of the part co-purchase graph:
+    {KCORE_ROUNDS} statically-unrolled peel rounds toward the
+    {K_CORE}-core (Seidman 1983 — THE cohesive-subgraph definition;
+    Batagelj–Zaveršnik is the sequential peeling this parallel
+    round-peel approximates from above). Each round drops every node
+    whose degree over the SURVIVING edges is < k, then the edges that
+    touched it; `converged` reports whether the last round changed
+    nothing (the fixpoint IS the k-core; a non-converged run tells the
+    caller to raise the round budget — the honest truncation contract,
+    same as PCA_ITERS/PR_ITERS).
+
+    Scale shape per round: one degree aggregation (map-side partials,
+    node key) + two semi-shaped joins of the edge list against the
+    ~|nodes|-row keep set — Spark broadcasts the keep side when small,
+    AQE decides otherwise; the surviving edge list is persisted per
+    round and the previous round's cache released after the next
+    materializes (the label-propagation memory contract). Output is
+    one summary row; all counts integer."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = track_persist(
+        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    prev_edges = None
+    keep_count = edges_count = None
+    prev_edge_count_col = None
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= K_CORE).select("node")
+        ka = keep.select(F.col("node").alias("nu"))
+        kb = keep.select(F.col("node").alias("nv"))
+        new_edges = track_persist(
+            edges.join(ka, edges.u == ka.nu, "left_semi")
+            .join(kb, edges.v == kb.nv, "left_semi")
+        )
+        prev_edges, edges = edges, new_edges
+        last_keep = keep
+    n_nodes = last_keep.agg(F.count(F.lit(1)).alias("n_nodes_remaining"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges_remaining"))
+    n_prev = prev_edges.agg(F.count(F.lit(1)).alias("n_prev"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_prev))
+        .select(
+            "n_nodes_remaining",
+            "n_edges_remaining",
+            F.lit(KCORE_ROUNDS).cast("long").alias("n_rounds"),
+            (F.col("n_edges_remaining") == F.col("n_prev")).alias("converged"),
+        )
+    )

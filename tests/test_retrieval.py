@@ -198,3 +198,40 @@ def test_power_user_concentration_invariants(spark):
     assert row.top_share <= 1.0
     assert row.k_top >= 1
     assert row.n_events >= row.n_users  # every user has >= 1 event
+
+
+def test_kcore_clique_survives_star_peels(spark, tmp_path):
+    """A (k+1)-clique IS a k-core (every degree exactly k — survives,
+    converged); a star's leaves have degree 1 — the whole component
+    peels. Edges encoded as 2-line orders, the operator's input shape."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gresearch_parquet_benchmarking_spark.operators.graph import (
+        K_CORE,
+        graph_kcore_bounded,
+    )
+
+    clique = list(itertools.combinations(range(1, K_CORE + 2), 2))
+    hub = 10_000
+    star = [(hub, hub + i) for i in range(1, 40)]
+    rows = []
+    for oid, (u, v) in enumerate(clique + star):
+        rows.append((oid, u))
+        rows.append((oid, v))
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    d = tmp_path / "kcore"
+    d.mkdir()
+    pq.write_table(tbl, d / "lineitem.parquet")
+    row = graph_kcore_bounded(spark, str(d)).collect()[0]
+    release_persists()
+    assert row.n_nodes_remaining == K_CORE + 1          # the clique
+    assert row.n_edges_remaining == len(clique)
+    assert bool(row.converged)                          # clique is stable
