@@ -1232,3 +1232,74 @@ def event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event paths (round 6)
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 3   # first-k event types per user form the path
+PATH_TOP = 10
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS rn
+        FROM e
+    ),
+    paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= {PATH_LEN} GROUP BY user_id
+    ),
+    counts AS (SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path)
+    SELECT path, n_users,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS BIGINT) AS rnk
+    FROM counts
+    QUALIFY rnk <= {PATH_TOP}
+    ORDER BY rnk
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first {PATH_LEN} event types (in
+    event-time order, event_id tiebreak) joined into a path string,
+    ranked by how many users share the path — the path-analysis view
+    behind every onboarding-flow dashboard.
+
+    Scale shape: one user-keyed window (rank within user — the same
+    exchange the funnel family uses), one per-user rollup, then a
+    |distinct paths|-row count (paths are length-{PATH_LEN} over a
+    4-symbol alphabet: ≤ 64 + shorter prefixes). The final top-k
+    window runs over that metadata-sized table. Determinism: integer
+    ranks with full tiebreaks (event_id within user, path string
+    across paths)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    wu = W.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    firstk = (
+        ev.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= PATH_LEN)
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda p: p["event_type"],
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    wr = W.orderBy(F.desc("n_users"), F.asc("path"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= PATH_TOP)
+        .select("path", "n_users", "rnk")
+        .orderBy("rnk")
+    )

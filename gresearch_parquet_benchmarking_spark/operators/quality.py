@@ -561,6 +561,36 @@ _GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is")
 _SQL_STOPS = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPS) + "]"
 
 
+def _gopher_flags(doc: DataFrame) -> DataFrame:
+    """(lang, f_words, f_wlen, f_symbol, f_uniq, f_stop) — the Gopher
+    rule booleans, shared by quality_gopher_rules and the ablation
+    matrix (identical expression trees, so the two queries can never
+    disagree about what a rule means)."""
+    t = tokens_col("text")
+    s = F.lower(F.col("text"))
+    n = F.size(t)
+    mean_wlen = (
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .cast("double") / n
+    )
+    sym_ratio = (
+        (F.length(s) - F.length(F.regexp_replace(s, "[^a-z0-9 ]", ""))).cast("double")
+        / F.length(s)
+    )
+    uniq_ratio = F.size(F.array_distinct(t)).cast("double") / n
+    n_stops = F.size(
+        F.array_intersect(F.array_distinct(t), F.array(*[F.lit(x) for x in _GOPHER_STOPS]))
+    )
+    return doc.select(
+        "lang",
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("f_words"),
+        mean_wlen.between(GOPHER_WLEN_LO, GOPHER_WLEN_HI).alias("f_wlen"),
+        (sym_ratio <= GOPHER_SYM_MAX).alias("f_symbol"),
+        (uniq_ratio >= GOPHER_UNIQ_MIN).alias("f_uniq"),
+        (n_stops >= GOPHER_MIN_STOPS).alias("f_stop"),
+    )
+
+
 @query(
     "quality_gopher_rules",
     oracle=f"""
@@ -622,29 +652,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
     doc = load_table(spark, sf_dir, "documents")
-    t = tokens_col("text")
-    s = F.lower(F.col("text"))
-    n = F.size(t)
-    mean_wlen = (
-        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        .cast("double") / n
-    )
-    sym_ratio = (
-        (F.length(s) - F.length(F.regexp_replace(s, "[^a-z0-9 ]", ""))).cast("double")
-        / F.length(s)
-    )
-    uniq_ratio = F.size(F.array_distinct(t)).cast("double") / n
-    n_stops = F.size(
-        F.array_intersect(F.array_distinct(t), F.array(*[F.lit(x) for x in _GOPHER_STOPS]))
-    )
-    flags = doc.select(
-        "lang",
-        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("f_words"),
-        mean_wlen.between(GOPHER_WLEN_LO, GOPHER_WLEN_HI).alias("f_wlen"),
-        (sym_ratio <= GOPHER_SYM_MAX).alias("f_symbol"),
-        (uniq_ratio >= GOPHER_UNIQ_MIN).alias("f_uniq"),
-        (n_stops >= GOPHER_MIN_STOPS).alias("f_stop"),
-    )
+    flags = _gopher_flags(doc)
     def cnt(c):
         return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
     all_pass = F.sum(
@@ -964,3 +972,100 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule ablation matrix (round 6)
+# ---------------------------------------------------------------------------
+
+_GOPHER_RULES = ("words", "wlen", "symbol", "uniq", "stop")
+
+
+def _ablation_sql() -> str:
+    """Re-derives the same flags CTE as quality_gopher_rules (same
+    module constants), then per rule: total failures and the docs
+    failing ONLY that rule — the marginal yield the rule uniquely
+    costs (what you get back by dropping it)."""
+    flags = f"""
+    WITH scored AS (
+        SELECT len(t) AS n_tok,
+               CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                   / len(t) AS mean_wlen,
+               CAST(len(s) - len(regexp_replace(s, '[^a-z0-9 ]', '', 'g'))
+                    AS DOUBLE) / len(s) AS sym_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+               len(list_intersect(list_distinct(t), {_SQL_STOPS})) AS n_stops
+        FROM (SELECT string_split(text, ' ') AS t, lower(text) AS s FROM documents)
+    ),
+    flags AS (
+        SELECT (n_tok BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS f_words,
+               (mean_wlen BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI}) AS f_wlen,
+               (sym_ratio <= {GOPHER_SYM_MAX}) AS f_symbol,
+               (uniq_ratio >= {GOPHER_UNIQ_MIN}) AS f_uniq,
+               (n_stops >= {GOPHER_MIN_STOPS}) AS f_stop
+        FROM scored
+    )"""
+    arms = []
+    for r in _GOPHER_RULES:
+        others = " AND ".join(f"f_{o}" for o in _GOPHER_RULES if o != r)
+        arms.append(f"""
+    SELECT '{r}' AS rule,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT f_{r} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           CAST(SUM(CASE WHEN NOT f_{r} AND {others} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_only,
+           ROUND(SUM(CASE WHEN NOT f_{r} AND {others} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS marginal_drop_rate
+    FROM flags""")
+    return flags + "\n" + "\nUNION ALL\n".join(arms) + "\nORDER BY rule"
+
+
+@query("quality_filter_ablation", oracle=_ablation_sql)
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Gopher filter battery: how many docs
+    each rule fails in total, and how many it UNIQUELY removes (fail
+    this rule, pass all others) — the marginal-yield attribution a
+    filter-tuning session needs before touching any threshold
+    (overlapping rules make raw per-rule pass counts misleading;
+    n_fail_only is exactly the data returned by dropping the rule).
+    Shares quality_gopher_rules' flag expressions via _gopher_flags,
+    so the two dashboards can never disagree about rule semantics.
+
+    Scale shape: one map-side flag pass over the corpus persisted
+    once, then 5 aggregates over the 5-boolean relation (all map-side
+    partials); output is 5 rows."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    flags = track_persist(_gopher_flags(load_table(spark, sf_dir, "documents")))
+    arms = []
+    for r in _GOPHER_RULES:
+        others = [F.col(f"f_{o}") for o in _GOPHER_RULES if o != r]
+        others_pass = others[0]
+        for o in others[1:]:
+            others_pass = others_pass & o
+        only = ~F.col(f"f_{r}") & others_pass
+        arms.append(
+            flags.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(~F.col(f"f_{r}"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_fail"),
+                F.sum(F.when(only, 1).otherwise(0)).cast("long").alias("n_fail_only"),
+                F.round(
+                    F.sum(F.when(only, 1).otherwise(0)) * F.lit(1.0)
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("marginal_drop_rate"),
+            ).select(
+                F.lit(r).alias("rule"),
+                "n_docs",
+                "n_fail",
+                "n_fail_only",
+                "marginal_drop_rate",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("rule")
