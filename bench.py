@@ -133,6 +133,8 @@ FULL_ONLY_QUERIES = [
     "dedup_containment_bottomk",
     "stream_psi_value_drift",
     "graph_kcore_bounded",
+    "quality_filter_ablation",
+    "events_top_paths",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -214,3 +214,49 @@ def test_bigram_logprob_consistency(spark):
         ).collect()
     }
     assert all(r.n_bigrams == n_tok[r.doc_id] - 1 for r in out.itertuples())
+
+
+def test_ablation_consistent_with_gopher_dashboard(spark):
+    """n_fail per rule must equal n_docs - n_pass_<rule> summed over
+    languages (same flag expressions by construction), and unique
+    failures can never exceed total failures."""
+    from gresearch_parquet_benchmarking_spark.operators.quality import (
+        quality_filter_ablation,
+        quality_gopher_rules,
+    )
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        release_persists,
+    )
+    from conftest import SF_SMOKE
+
+    ab = {r.rule: r for r in quality_filter_ablation(spark, SF_SMOKE).collect()}
+    release_persists()
+    g = quality_gopher_rules(spark, SF_SMOKE).toPandas()
+    release_persists()
+    n_docs = int(g.n_docs.sum())
+    pass_cols = {
+        "words": "n_pass_words",
+        "wlen": "n_pass_wordlen",
+        "symbol": "n_pass_symbol",
+        "uniq": "n_pass_uniq",
+        "stop": "n_pass_stopword",
+    }
+    for rule, col in pass_cols.items():
+        assert ab[rule].n_docs == n_docs
+        assert ab[rule].n_fail == n_docs - int(g[col].sum()), rule
+        assert ab[rule].n_fail_only <= ab[rule].n_fail
+
+
+def test_top_paths_shape(spark):
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        PATH_TOP,
+        events_top_paths,
+    )
+    from conftest import SF_SMOKE
+
+    out = events_top_paths(spark, SF_SMOKE).toPandas()
+    assert 0 < len(out) <= PATH_TOP
+    assert list(out.rnk) == list(range(1, len(out) + 1))
+    assert all(a >= b for a, b in zip(out.n_users, out.n_users[1:]))
+    # paths are '>'-joined event types, at most PATH_LEN long
+    assert out.path.str.split(">").map(len).le(3).all()
