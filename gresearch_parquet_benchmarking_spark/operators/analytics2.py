@@ -1,0 +1,426 @@
+"""Warehouse-analytics round 2: gaps-and-islands streaks, calendar
+densification, weighted reservoir sampling, integrity checksums, and
+exponential-smoothing forecasts.
+
+Five patterns every large warehouse/pipeline runs that the surface
+didn't yet cover (SURVEY.md §2.9 extension charter — the reference
+has no relational model at all):
+
+* **Gaps-and-islands** (``customer_order_streaks``) — the classic
+  consecutive-period streak detection (row_number-difference island
+  key), the idiom behind "longest active streak" retention metrics.
+* **Date-spine densification** (``orders_date_spine_fill``) — dense
+  calendar generation + left join so zero-activity days exist in the
+  series; the prerequisite for any honest period-over-period or gap
+  metric (a missing day is data, not absence of data).
+* **Weighted sampling without replacement**
+  (``sample_weighted_aes``) — Efraimidis & Spirakis 2006 ("Weighted
+  random sampling with a reservoir"): key = ln(u)/w, take the top-k
+  keys. One pass, no global sort of the corpus beyond a bounded
+  top-k per stratum; THE distributed weighted-sample primitive.
+* **Order-independent integrity checksums**
+  (``integrity_partition_checksums``) — per-partition XOR of row
+  hashes: commutative/associative ⇒ mergeable across any task split,
+  the cheap way to verify a 100 TB copy or a migration (count alone
+  misses content corruption).
+* **EWMA forecast** (``orders_ewma_forecast``) — exponential
+  smoothing over the monthly series via the closed-form bounded
+  window (12 terms), the no-training baseline every demand forecast
+  is judged against.
+
+Scale shape (shared): every query aggregates the corpus down to a
+tiny keyed table FIRST (months, days, strata, sources) with map-side
+partials, and all window/join/rank work happens on that aggregate.
+The weighted sample's per-row key is map-side math; its only shuffle
+is the per-lang top-k. The checksum is one map-side hash + one
+XOR-mergeable aggregation — no row ever moves twice.
+
+Determinism: streak/island arithmetic is pure integers; ES keys are
+per-row IEEE trees (md5-uniform → ln → divide) identical on both
+engines, with doc_id tiebreakers; EWMA weights are per-row pow()
+doubles whose weighted sums are decimal-accumulated (rule 1); the
+XOR checksum is integer-exact and order-free by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
+    md5_hash64,
+    sql_md5_hash64,
+)
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    dsum,
+    query,
+    sql_dsum,
+)
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+ES_SAMPLE_K = 5           # weighted-sample picks per language stratum
+ES_U_DENOM = 4294967297.0  # 2^32 + 1: md5-32 + 1 over this is in (0,1)
+EWMA_ALPHA = 0.3          # smoothing factor (0.3 and 0.7 parse to the
+EWMA_WINDOW = 12          # same doubles in both engines)
+
+
+@query(
+    "customer_order_streaks",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               date_part('year', o_orderdate) * 12
+                 + date_part('month', o_orderdate) AS mi
+        FROM orders
+    ),
+    islands AS (
+        SELECT o_custkey, mi,
+               mi - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mi)
+                 AS grp
+        FROM months
+    ),
+    streaks AS (
+        SELECT o_custkey, grp, COUNT(*) AS len
+        FROM islands GROUP BY o_custkey, grp
+    ),
+    best AS (
+        SELECT o_custkey, MAX(len) AS max_streak FROM streaks
+        GROUP BY o_custkey
+    )
+    SELECT max_streak AS streak_months,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM best GROUP BY max_streak ORDER BY streak_months
+    """,
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-month ordering streak per customer, rolled
+    up into a streak-length histogram — the gaps-and-islands idiom
+    (island key = month index minus row_number) behind every
+    "current streak" retention metric.
+
+    Scale shape: the corpus collapses to distinct (customer, month)
+    pairs in one map-side-partial aggregation; the island window then
+    runs per-customer over ≤ n_months rows, reusing the same hash
+    partitioning for the streak and per-customer rollups (one
+    exchange chain on o_custkey), and the final histogram is a
+    tiny-key aggregation. Pure integer arithmetic end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    ).distinct()
+    grp = (
+        F.col("mi")
+        - F.row_number().over(W.partitionBy("o_custkey").orderBy("mi"))
+    ).alias("grp")
+    streaks = (
+        months.select("o_custkey", "mi", grp)
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    best = streaks.groupBy("o_custkey").agg(F.max("len").alias("max_streak"))
+    return (
+        best.groupBy(F.col("max_streak").alias("streak_months"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("streak_months")
+    )
+
+
+@query(
+    "orders_date_spine_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS mn,
+               CAST(MAX(o_orderdate) AS DATE) AS mx
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                           CAST(mx AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+                 AS rev
+        FROM orders GROUP BY 1
+    ),
+    dense AS (
+        SELECT spine.d,
+               COALESCE(daily.n, 0) AS n,
+               COALESCE(daily.rev, 0.0) AS rev
+        FROM spine LEFT JOIN daily ON spine.d = daily.day
+    ),
+    monthly AS (
+        SELECT strftime(d, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_days,
+               CAST(SUM(n) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(rev AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        FROM dense GROUP BY 1
+    )
+    SELECT month, n_days, zero_days, n_orders, ROUND(revenue, 4) AS revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / NULLIF(LAG(revenue) OVER (ORDER BY month), 0.0), 6)
+             AS mom_pct
+    FROM monthly ORDER BY month
+    """,
+)
+def orders_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily calendar spine left-joined to order activity, rolled
+    up monthly with zero-day counts and month-over-month revenue
+    change — densification makes missing days first-class data, the
+    prerequisite for honest period-over-period and gap metrics.
+
+    Scale shape: the corpus collapses to one daily aggregate (map-side
+    partials; ≤ corpus-years × 366 rows) and one 2-value bounds row;
+    the spine is generated by exploding a single sequence() on that
+    bounds row (driver-free, metadata-sized) and the left join + the
+    monthly rollup + the LAG window all run on calendar-sized tables.
+    Revenue sums decimal-accumulate at every level (rule 1); MoM
+    division NULLIF-guards empty months identically on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mn"),
+        F.max(F.col("o_orderdate").cast("date")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", alias="rev"),
+    )
+    dense = spine.join(daily, spine.d == daily.day, "left").select(
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("rev", F.lit(0.0)).alias("rev"),
+    )
+    monthly = dense.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_days"),
+        F.sum("n").cast("long").alias("n_orders"),
+        dsum("rev", alias="revenue"),
+    )
+    prev = F.lag("revenue").over(W.orderBy("month"))
+    return monthly.select(
+        "month",
+        "n_days",
+        "zero_days",
+        "n_orders",
+        F.round("revenue", 4).alias("revenue"),
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6
+        ).alias("mom_pct"),
+    ).orderBy("month")
+
+
+@query(
+    "sample_weighted_aes",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars AS w,
+               ln(({sql_md5_hash64("CAST(doc_id AS VARCHAR)")} + 1)
+                  / {ES_U_DENOM})
+                 / GREATEST(n_chars, 1) AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, w, es_key,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY es_key DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT lang, CAST(rn AS BIGINT) AS pick_rank, doc_id, w,
+           ROUND(es_key, 9) AS es_key
+    FROM ranked WHERE rn <= {ES_SAMPLE_K}
+    ORDER BY lang, pick_rank
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per language stratum via
+    the Efraimidis–Spirakis A-ES key (2006, "Weighted random sampling
+    with a reservoir"): key = ln(u)/w with u uniform in (0,1), take
+    the k largest keys — exactly equivalent to sequential weighted
+    draws without replacement, but embarrassingly parallel.
+
+    u is the deterministic md5-uniform of doc_id (the repo's seeded
+    stand-in for random()), so both engines draw the identical sample.
+
+    Scale shape: the key is one map-side expression per row; the only
+    shuffle is the per-lang top-k window — at 100 TB you'd swap the
+    full row_number window for a per-partition top-k + merge
+    (the same bounded-reservoir algebra the paper proves), which AQE's
+    partial TakeOrdered already approximates. No corpus-sized sort,
+    no driver-side sampling state."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (md5_hash64(F.col("doc_id").cast("string")) + 1) / F.lit(ES_U_DENOM)
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (F.log(u) / F.greatest("n_chars", F.lit(1))).alias("es_key"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    )
+    return (
+        keyed.withColumn("rn", rn)
+        .filter(F.col("rn") <= ES_SAMPLE_K)
+        .select(
+            "lang",
+            F.col("rn").cast("long").alias("pick_rank"),
+            "doc_id",
+            "w",
+            F.round("es_key", 9).alias("es_key"),
+        )
+        .orderBy("lang", "pick_rank")
+    )
+
+
+@query(
+    "integrity_partition_checksums",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT source,
+               doc_id,
+               {sql_md5_hash64("CAST(doc_id AS VARCHAR) || ':' || md5(text)",
+                               bits=56)} AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS xor_checksum,
+           MIN(h) AS min_hash,
+           MAX(h) AS max_hash,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM hashed GROUP BY source ORDER BY source
+    """,
+)
+def integrity_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums per source partition: XOR
+    of a 56-bit md5 row hash over (doc_id, content-md5), plus row
+    counts and id/hash extrema — the audit a pipeline runs on both
+    sides of a 100 TB copy/migration to prove content (not just
+    count) equality.
+
+    Scale shape: one map-side hash per row, then a single aggregation
+    whose combiner is XOR/MIN/MAX/COUNT — all commutative-associative
+    and constant-width, so partials merge in any order across any
+    task split and re-partitioning never changes the answer. 56-bit
+    hashes keep every value positive in a BIGINT on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")),
+        bits=56,
+    )
+    return (
+        docs.select("source", "doc_id", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "orders_ewma_forecast",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               date_part('year', o_orderdate) * 12
+                 + date_part('month', o_orderdate) AS mi,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               {sql_dsum("o_totalprice")} AS rev
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    terms AS (
+        SELECT a.priority, a.mi, a.month,
+               pow({1.0 - EWMA_ALPHA}, a.mi - b.mi) AS wt,
+               pow({1.0 - EWMA_ALPHA}, a.mi - b.mi) * b.rev AS wrev
+        FROM monthly a
+        JOIN monthly b
+          ON a.priority = b.priority
+         AND b.mi BETWEEN a.mi - {EWMA_WINDOW - 1} AND a.mi
+    )
+    SELECT priority, month,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND({sql_dsum("wrev", scale=6)}
+                 / {sql_dsum("wt", scale=12)}, 6) AS ewma
+    FROM terms GROUP BY priority, mi, month
+    ORDER BY priority, month
+    """,
+)
+def orders_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue per
+    order priority — the closed-form bounded-window form of simple
+    exponential smoothing (weights (1-α)^lag over the trailing 12
+    months, renormalized), the no-training forecast baseline. The
+    last month's ewma IS the next-month forecast.
+
+    Scale shape: the corpus collapses to a (priority, month) aggregate
+    first (map-side decimal partials; priorities × months rows —
+    metadata-sized at any SF); the 12-term trailing window is a
+    bounded-fanout self-join ON THAT AGGREGATE (equi on priority +
+    month-range), never on raw orders, and AQE broadcasts it. The
+    recursive EWMA definition is deliberately traded for the
+    closed-form so there is no sequential scan.
+
+    Determinism: pow() weights are per-row IEEE doubles (integer
+    exponents) identical on both engines; the weighted numerator and
+    denominator sums decimal-accumulate (rule 1) — a 12-term plain
+    double SUM would be partial-order-dependent. The second join
+    branch is alias-renamed (self-join rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(dsum("o_totalprice", alias="rev"))
+    b = monthly.select(
+        F.col("priority").alias("b_priority"),
+        F.col("mi").alias("b_mi"),
+        F.col("rev").alias("b_rev"),
+    )
+    wt = F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("mi") - F.col("b_mi"))
+    terms = monthly.join(
+        b,
+        (F.col("priority") == F.col("b_priority"))
+        & (F.col("b_mi") >= F.col("mi") - (EWMA_WINDOW - 1))
+        & (F.col("b_mi") <= F.col("mi")),
+    ).select(
+        "priority",
+        "mi",
+        "month",
+        wt.alias("wt"),
+        (wt * F.col("b_rev")).alias("wrev"),
+    )
+    return (
+        terms.groupBy("priority", "mi", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                dsum("wrev", scale=6) / dsum("wt", scale=12), 6
+            ).alias("ewma"),
+        )
+        .select("priority", "month", "n_terms", "ewma")
+        .orderBy("priority", "month")
+    )

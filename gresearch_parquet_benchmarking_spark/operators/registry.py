@@ -90,6 +90,7 @@ _MODULE_ORDER = [
     "operators.dataquality",
     "operators.drift",
     "streaming.trending",
+    "operators.analytics2",
 ]
 _PKG = "gresearch_parquet_benchmarking_spark"
 _MODULE_RANK = {f"{_PKG}.{m}": i for i, m in enumerate(_MODULE_ORDER)}
@@ -167,6 +168,7 @@ def _ensure_loaded() -> None:
         retrieval,
         dataquality,
         drift,
+        analytics2,
     )
     from gresearch_parquet_benchmarking_spark.streaming import trending  # noqa: F401
 
