@@ -135,6 +135,17 @@ FULL_ONLY_QUERIES = [
     "graph_kcore_bounded",
     "quality_filter_ablation",
     "events_top_paths",
+    # analytics2 pack (warehouse patterns round 2)
+    "customer_order_streaks",
+    "orders_date_spine_fill",
+    "sample_weighted_aes",
+    "integrity_partition_checksums",
+    "orders_ewma_forecast",
+    "snapshot_diff_orders",
+    # fusion / tokenizer / streaming-audit additions
+    "ann_rrf_fusion",
+    "bpe_top_merges",
+    "stream_integrity_checksum",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are
@@ -142,7 +153,7 @@ FULL_ONLY_QUERIES = [
 # layout-evidence diagnostics, not comparable workload rows — the
 # 1-row-group pageread row would otherwise silently inflate the
 # round-over-round metric; ADVICE r5 #2).
-FULL_ONLY_PREFIXES = ("io_pageread_task_1rg_", "io_schemaplan_")
+FULL_ONLY_PREFIXES = ("io_pageread_task_1rg_", "io_schemaplan_", "io_pointlookup_")
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
 # comparison grid); everything else still lands in
@@ -536,6 +547,29 @@ def bench_io(spark) -> dict[str, float]:
 
     measured(out, "io_schemaplan_merge_200f", _plan_merged)
     measured(out, "io_schemaplan_pinned_200f", _plan_pinned)
+
+    # Bloom-filter point lookup A/B (sources/io.py bloom rationale):
+    # an absent in-range probe on an unsorted high-cardinality key.
+    # With blooms every row group is skipped (the scan emits 0 rows);
+    # without, the full column decodes — the needle-in-haystack
+    # capability a 100 TB lookup lives on. io_pointlookup_ prefix
+    # keeps the pair out of the headline total (evidence rows).
+    from gresearch_parquet_benchmarking_spark.bench.fixtures import (
+        ensure_bloom_fixture,
+    )
+
+    bloom_fx = ensure_bloom_fixture(spark)
+    absent = (
+        spark.read.parquet(bloom_fx).select("k").limit(1).collect()[0][0] + 1
+    )
+    measured(
+        out, "io_pointlookup_bloom_2mr",
+        lambda: eio.point_lookup_timed(spark, bloom_fx, "k", absent, True)[0],
+    )
+    measured(
+        out, "io_pointlookup_nobloom_2mr",
+        lambda: eio.point_lookup_timed(spark, bloom_fx, "k", absent, False)[0],
+    )
     return out
 
 

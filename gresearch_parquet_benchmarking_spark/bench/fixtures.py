@@ -107,3 +107,37 @@ def ensure_evolving_fixture(n_files: int = 200, rows_per_file: int = 100) -> str
     with open(marker, "w") as f:
         f.write("ok")
     return d
+
+
+BLOOM_FIXTURE_ROWS = 2_000_000
+
+
+def ensure_bloom_fixture(spark, n_rows: int = BLOOM_FIXTURE_ROWS) -> str:
+    """A (k BIGINT, v BIGINT) file with a split-block bloom filter on
+    the md5-derived key ``k`` and ~24 row groups. High-cardinality
+    UNSORTED keys make min/max stats unusable for point lookups — the
+    layout where blooms are the only row-group-skipping signal
+    (sources/io.py bloom rationale). Spark-written: pyarrow 16 cannot
+    write bloom filters, parquet-mr can."""
+    from pyspark.sql import functions as F
+
+    from gresearch_parquet_benchmarking_spark.sources import io as eio
+
+    d = os.path.join(DEFAULT_CACHE, f"bloom_keyed_{n_rows}r")
+    marker = os.path.join(d, "_COMPLETE")
+    path = os.path.join(d, "keyed.parquet")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(d, exist_ok=True)
+    df = spark.range(n_rows).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 14), 16, 10)
+        .cast("bigint")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    eio.write_parquet_bloom(
+        df, path, bloom_ndv={"k": n_rows}, row_group_rows=84_000, bytes_per_row=16.0
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path

@@ -424,3 +424,114 @@ def orders_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "month", "n_terms", "ewma")
         .orderBy("priority", "month")
     )
+
+
+SNAP_CHANGED_MOD = 97   # keys whose price changes in the simulated v2
+SNAP_DELETED_MOD = 101  # keys dropped from v2
+SNAP_ADDED_MOD = 103    # keys whose v2 clone appears under a new key
+SNAP_KEY_OFFSET = 1_000_000_000  # far beyond any real orderkey
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status, o_orderpriority AS priority
+        FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % {SNAP_CHANGED_MOD} = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+               o_orderstatus AS status, o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % {SNAP_DELETED_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey + {SNAP_KEY_OFFSET}, o_totalprice,
+               o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % {SNAP_ADDED_MOD} = 0
+    ),
+    diff AS (
+        SELECT CASE
+                 WHEN v1.k IS NULL THEN 'added'
+                 WHEN v2.k IS NULL THEN 'deleted'
+                 WHEN v1.price != v2.price OR v1.status != v2.status
+                      OR v1.priority != v2.priority THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type,
+               COALESCE(v2.price, 0.0) - COALESCE(v1.price, 0.0) AS delta
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({sql_dsum("delta")}, 4) AS price_delta
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions — the CDC/audit query
+    run after every batch ingest or migration: classify every key as
+    added / deleted / changed / unchanged via one full-outer join and
+    field-level comparison, with the net value delta per class. v2 is
+    a deterministic simulation (mod-key edits/drops/inserts) so both
+    engines derive the identical pair of versions.
+
+    Scale shape: ONE full-outer shuffle hash join on the key — the
+    minimal-movement plan for an unordered diff at 100 TB (both sides
+    partition once on k; AQE handles size asymmetry) — then a
+    4-key map-side-combinable rollup. Field comparisons are exact
+    (double equality on identical inputs, +1.0 is exact in binary);
+    the delta sum decimal-accumulates (rule 1). No row hashing:
+    double→string formatting differs across engines, field-wise
+    compare is both cheaper and exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % SNAP_DELETED_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("k2"),
+            F.when(
+                F.col("o_orderkey") % SNAP_CHANGED_MOD == 0,
+                F.col("o_totalprice") + 1.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price2"),
+            F.col("o_orderstatus").alias("status2"),
+            F.col("o_orderpriority").alias("priority2"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % SNAP_ADDED_MOD == 0).select(
+                (F.col("o_orderkey") + SNAP_KEY_OFFSET).alias("k2"),
+                F.col("o_totalprice").alias("price2"),
+                F.col("o_orderstatus").alias("status2"),
+                F.col("o_orderpriority").alias("priority2"),
+            )
+        )
+    )
+    diff = v1.join(v2, F.col("k") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("k2").isNull(), "deleted")
+        .when(
+            (F.col("price") != F.col("price2"))
+            | (F.col("status") != F.col("status2"))
+            | (F.col("priority") != F.col("priority2")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce("price2", F.lit(0.0)) - F.coalesce("price", F.lit(0.0))
+        ).alias("delta"),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum("delta"), 4).alias("price_delta"),
+        )
+        .orderBy("change_type")
+    )

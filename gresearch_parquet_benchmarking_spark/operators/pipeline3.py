@@ -592,3 +592,86 @@ def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+BPE_TOP_MERGES = 20
+
+
+@query(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token AS tok, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY 1
+    ),
+    pos AS (
+        SELECT tok, cnt, unnest(generate_series(1, length(tok) - 1)) AS i
+        FROM vocab WHERE length(tok) >= 2
+    ),
+    pairs AS (
+        SELECT substr(tok, i, 2) AS pair,
+               CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM pos GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS BIGINT)
+             AS merge_rank,
+           pair, total, n_types
+    FROM pairs
+    QUALIFY merge_rank <= {BPE_TOP_MERGES}
+    ORDER BY merge_rank
+    """,
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units"): rank adjacent character pairs by corpus frequency — the
+    top pair is the first merge rule. ``total`` weights each pair by
+    the word's corpus count; ``n_types`` is how many distinct words
+    contribute it (the type/token distinction tokenizer trainers
+    track).
+
+    Scale shape: THE reason BPE training scales — the corpus collapses
+    to its word-count VOCABULARY first (one map-side-partial
+    aggregation; vocabulary size grows ~Heaps-law sublinearly), and
+    the pair explosion runs over distinct words only, bounded by word
+    length. The pair table itself is at most |alphabet|² keys — a
+    map-side-combinable aggregation with constant-width keys. Real
+    training iterates merge→recount on the same vocabulary-sized
+    table; iteration 1 is the representative (and the most expensive:
+    later rounds shrink the pair set).
+
+    Determinism: pure integer counts, rank tie-broken by pair text."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pos = vocab.filter(F.length("tok") >= 2).select(
+        "tok",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+    )
+    pairs = (
+        pos.select(
+            F.col("tok").substr(F.col("i"), F.lit(2)).alias("pair"), "cnt"
+        )
+        .groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("long").alias("total"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("total"), F.asc("pair")))
+    return (
+        pairs.withColumn("merge_rank", rn.cast("long"))
+        .filter(F.col("merge_rank") <= BPE_TOP_MERGES)
+        .select("merge_rank", "pair", "total", "n_types")
+        .orderBy("merge_rank")
+    )

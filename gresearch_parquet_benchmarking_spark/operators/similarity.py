@@ -2478,3 +2478,165 @@ def ann_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid-search algebra)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the canonical RRF constant (Cormack et al. 2009)
+RRF_DEPTH = 20    # per-arm candidate depth fed into the fusion
+
+
+@query(
+    "ann_rrf_fusion",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n2 FROM vecs
+    ),
+    arm_cos AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.v, b.v) / (a.n2 * b.n2) DESC,
+                            b.vec_id) AS BIGINT) AS rank_cos
+        FROM normed a JOIN normed b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+        QUALIFY rank_cos <= {RRF_DEPTH}
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(GREATEST(LEAST(ROUND(x * {QUANT_SCALE}), 127), -127) AS BIGINT)) AS qv
+        FROM vecs
+    ),
+    arm_q AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST(list_dot_product(
+                       list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) DESC,
+                            b.vec_id) AS BIGINT) AS rank_q
+        FROM q a JOIN q b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+        QUALIFY rank_q <= {RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(c.query_id, i.query_id) AS query_id,
+               COALESCE(c.neighbor_id, i.neighbor_id) AS neighbor_id,
+               COALESCE(1.0 / ({RRF_K} + c.rank_cos), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + i.rank_q), 0.0) AS rrf,
+               COALESCE(c.rank_cos, -1) AS rank_cos,
+               COALESCE(i.rank_q, -1) AS rank_q
+        FROM arm_cos c
+        FULL OUTER JOIN arm_q i
+          ON c.query_id = i.query_id AND c.neighbor_id = i.neighbor_id
+    )
+    SELECT query_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, neighbor_id) AS BIGINT)
+             AS fused_rank,
+           neighbor_id, ROUND(rrf, 6) AS rrf, rank_cos, rank_q
+    FROM fused
+    QUALIFY fused_rank <= {TOP_K}
+    ORDER BY query_id, fused_rank
+    """,
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009:
+    1/(k+rank) summed across systems, k=60) of two retrieval arms over
+    the same corpus — exact float32 cosine and symmetric-int8
+    quantized dot — the fusion algebra behind every hybrid
+    (lexical+vector or multi-index) search stack: rank-based, so
+    incomparable score scales fuse without calibration.
+
+    Scale shape: each arm is the broadcast-queries map-side scan the
+    brute-force/quantized queries already use, cut to a DEPTH-bounded
+    per-query candidate list by the same per-query top-k window; the
+    fusion full-outer join then runs on ≤ 2·DEPTH rows per query —
+    constant work per query regardless of corpus size. In production
+    the arms are index-backed (IVF-PQ / inverted lists); the fusion
+    algebra is identical.
+
+    Determinism: ranks are integers from windows whose sort keys are
+    per-row IEEE doubles (cosine) and exact integers (quantized dot),
+    both neighbor-tiebroken; the RRF score is a two-term per-row sum
+    of exactly-representable-denominator reciprocals — no aggregation
+    sums anywhere, so no decimal accumulator is needed."""
+    vec = _vectors(spark, sf_dir).withColumn("n2", l2_norm(F.col("v")))
+    queries = vec.filter(F.col("vec_id") < N_QUERIES)
+
+    # arm 1: exact cosine, depth-bounded
+    qa = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+    )
+    cos = dot_product(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n2"))
+    wc = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    arm_cos = (
+        vec.join(F.broadcast(qa), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("rank_cos", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rank_cos") <= RRF_DEPTH)
+        .select("query_id", "neighbor_id", "rank_cos")
+    )
+
+    # arm 2: int8 symmetric quantization, exact integer dot
+    quantize = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.least(F.round(x * QUANT_SCALE, 0), F.lit(127.0)), F.lit(-127.0)
+        ).cast("long"),
+    )
+    q = _vectors(spark, sf_dir).select("vec_id", quantize.alias("qv2"))
+    qb = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("qv2").alias("qq")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv2"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("n_id"))
+    arm_q = (
+        q.join(F.broadcast(qb), F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("q_id"), F.col("vec_id").alias("n_id"), qdot.alias("qdot")
+        )
+        .withColumn("rank_q", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank_q") <= RRF_DEPTH)
+        .select("q_id", "n_id", "rank_q")
+    )
+
+    fused = arm_cos.join(
+        arm_q,
+        (F.col("query_id") == F.col("q_id"))
+        & (F.col("neighbor_id") == F.col("n_id")),
+        "full_outer",
+    ).select(
+        F.coalesce("query_id", "q_id").alias("query_id"),
+        F.coalesce("neighbor_id", "n_id").alias("neighbor_id"),
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_cos")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_q")), F.lit(0.0))
+        ).alias("rrf"),
+        F.coalesce("rank_cos", F.lit(-1)).alias("rank_cos"),
+        F.coalesce("rank_q", F.lit(-1)).alias("rank_q"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "query_id", "fused_rank", "neighbor_id",
+            F.round("rrf", 6).alias("rrf"), "rank_cos", "rank_q",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

@@ -530,3 +530,108 @@ def row_groups_matching(path: str, column: str, lo, hi) -> tuple[int, int]:
             elif not (st.max < lo or st.min > hi):
                 matching += 1
     return matching, total
+
+
+# ---------------------------------------------------------------------------
+# Parquet bloom filters (write + footer probe + point-lookup timing).
+#
+# The row-group-skipping path for point lookups on HIGH-CARDINALITY
+# UNSORTED keys, where min/max statistics are useless (every row group
+# spans nearly the whole key range — the reference's statistics story,
+# metadata_benchmark.cc:44-79, covers only the sorted/clustered case).
+# At 100 TB a needle-in-haystack lookup on such a key either decodes
+# every row group or asks a split-block bloom filter (parquet-mr
+# format ≥ 2.9) "is this value possibly here?" and skips the group on
+# "no" — turning a full-column decode into a footer+bitset read.
+# ---------------------------------------------------------------------------
+
+
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_ndv: dict[str, int],
+    row_group_rows: int | None = None,
+    bytes_per_row: float | None = None,
+    single_file: bool = True,
+) -> WriteResult:
+    """Parquet write with split-block bloom filters on the given
+    columns (``bloom_ndv``: column → expected NDV, which sizes the
+    bitset for the target 1% FPP). Dictionary encoding is disabled so
+    dictionary-page filtering cannot shadow the bloom effect in A/Bs
+    (high-cardinality keys overflow the dictionary anyway)."""
+    writer = df.coalesce(1).write if single_file else df.write
+    writer = writer.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    )
+    opts: dict = {"parquet.enable.dictionary": False}
+    if row_group_rows is not None:
+        if bytes_per_row is None:
+            raise ValueError("row_group_rows needs bytes_per_row")
+        block = max(int(row_group_rows * bytes_per_row), 64 * 1024)
+        writer = writer.option("parquet.block.size", str(block))
+        opts["parquet.block.size"] = block
+    for col, ndv in bloom_ndv.items():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv))
+        )
+        opts[f"parquet.bloom.filter.enabled#{col}"] = True
+
+    t0 = time.perf_counter()
+    writer.parquet(path)
+    dt = time.perf_counter() - t0
+    return WriteResult(
+        path=path, write_time_s=dt, file_bytes=_dir_bytes(path), options=opts
+    )
+
+
+def bloom_filter_offsets(spark: SparkSession, path: str) -> dict[str, int]:
+    """Per-column bloom-filter offset of the first row group of the
+    first file (-1 = no bloom filter), read through parquet-mr's own
+    footer model in the session JVM — neither pyarrow 16 nor DuckDB
+    1.0 expose bloom metadata, the writer's library is the ground
+    truth for what it wrote."""
+    f = _first_parquet_file(path)
+    jvm = spark.sparkContext._jvm  # type: ignore[union-attr]
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    inp = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inp)
+    try:
+        block = reader.getFooter().getBlocks().get(0)
+        out: dict[str, int] = {}
+        for i in range(block.getColumns().size()):
+            c = block.getColumns().get(i)
+            out[c.getPath().toDotString()] = c.getBloomFilterOffset()
+        return out
+    finally:
+        reader.close()
+
+
+def point_lookup_timed(
+    spark: SparkSession, path: str, column: str, value, use_bloom: bool = True
+) -> tuple[float, int]:
+    """(elapsed_s, scan numOutputRows) for ``column == value``.
+
+    The scan metric is the deterministic pruning evidence: a bloom hit
+    on an ABSENT in-range key skips every row group (scan outputs 0
+    rows); without bloom, min/max stats cannot prune an unsorted
+    high-cardinality key and the whole column decodes."""
+    df = (
+        spark.read.option("parquet.filter.bloom.enabled", str(use_bloom).lower())
+        .parquet(path)
+        .filter(F.col(column) == value)
+    )
+    t0 = time.perf_counter()
+    df.collect()
+    dt = time.perf_counter() - t0
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    rows = 0
+    for i in range(leaves.size()):
+        it = leaves.apply(i).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                rows = int(kv._2().value())
+    return dt, rows

@@ -278,3 +278,66 @@ def stream_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("window_start_us")
     )
     return out
+
+
+@query(
+    "stream_integrity_checksum",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                               || CAST(user_id AS VARCHAR) || ':'
+                               || CAST(epoch_us(ts) AS VARCHAR)), 1, 14))::BIGINT
+                 AS h
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS xor_checksum,
+           MIN(h) AS min_hash,
+           MAX(h) AS max_hash
+    FROM hashed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``integrity_partition_checksums``
+    (operators/analytics2.py): per-event-type XOR content checksums
+    maintained BY THE STREAM — the continuous-audit posture where a
+    replicating pipeline carries its own mergeable checksum state and
+    any batch-side re-read must reproduce it bit-for-bit.
+
+    XOR/MIN/MAX/COUNT are all commutative-associative, so the
+    streaming engine's incremental state merge across micro-batches
+    is exactly the batch combiner algebra — the same answer regardless
+    of how the input was split into batches (or tasks, at 100 TB).
+    The hash covers integer fields only (ids + exact epoch-µs):
+    float/string formatting never enters the hashed payload, so both
+    engines hash identical bytes."""
+    ev = _read_event_stream(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                    F.col("ts_us").cast("string"),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    agg = (
+        ev.select("event_type", h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )
+    return _run_to_table(agg, "complete").orderBy("event_type")
