@@ -146,6 +146,10 @@ FULL_ONLY_QUERIES = [
     "ann_rrf_fusion",
     "bpe_top_merges",
     "stream_integrity_checksum",
+    "lineitem_weighted_median_price",
+    "orders_abc_pareto",
+    "drift_embedding_centroid",
+    "events_freshness_lag",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -535,3 +535,163 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "lineitem_weighted_median_price",
+    oracle="""
+    WITH byprice AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice AS price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS w
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT l_returnflag, l_linestatus, price, w,
+               CAST(SUM(CAST(w AS DECIMAL(27,2))) OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY price) AS DOUBLE) AS cumw,
+               CAST(SUM(CAST(w AS DECIMAL(27,2))) OVER (
+                   PARTITION BY l_returnflag, l_linestatus) AS DOUBLE) AS tot
+        FROM byprice
+    ),
+    hit AS (
+        SELECT l_returnflag, l_linestatus, price, tot,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                  ORDER BY price) AS rn
+        FROM cum WHERE cumw >= 0.5 * tot
+    )
+    SELECT l_returnflag, l_linestatus,
+           price AS weighted_median_price,
+           ROUND(tot, 2) AS total_qty
+    FROM hit WHERE rn = 1
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per
+    (returnflag, linestatus) — the weighted-percentile pattern
+    (cumulative weight crossing half the total) that unweighted
+    percentile_approx/approx-quantile cannot express, and the robust
+    "typical traded price" a procurement dashboard wants (each price
+    counts by units moved, not by line count).
+
+    Scale shape: the corpus collapses to a (group, price)-keyed
+    aggregate with map-side decimal partials FIRST; the cumulative
+    window then runs over distinct prices per group (bounded by price
+    cardinality, not row count), partitioned on the same group key —
+    one exchange. The crossing row is a rank-1 filter per group.
+
+    Determinism: per-(group, price) weights and both window sums are
+    decimal-accumulated (rule 1 — a running double SUM re-associates
+    under partial aggregation); the 0.5·tot comparison is one IEEE
+    product of identical doubles on both engines; price ordering is
+    unique within a group by construction (it IS the group-by key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    byprice = li.groupBy(
+        "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("price")
+    ).agg(dsum("l_quantity", scale=2, alias="w"))
+    grp = W.partitionBy("l_returnflag", "l_linestatus")
+    cumw = (
+        F.sum(F.col("w").cast("decimal(27,2)"))
+        .over(grp.orderBy("price"))
+        .cast("double")
+    )
+    tot = F.sum(F.col("w").cast("decimal(27,2)")).over(grp).cast("double")
+    cum = byprice.select(
+        "l_returnflag", "l_linestatus", "price", "w",
+        cumw.alias("cumw"), tot.alias("tot"),
+    )
+    rn = F.row_number().over(grp.orderBy("price"))
+    return (
+        cum.filter(F.col("cumw") >= 0.5 * F.col("tot"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("price").alias("weighted_median_price"),
+            F.round("tot", 2).alias("total_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ABC_A_CUT = 0.80   # cumulative-revenue-share class boundaries
+ABC_B_CUT = 0.95
+
+
+@query(
+    "orders_abc_pareto",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,4))) AS DOUBLE) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_partkey, rev,
+               CAST(SUM(CAST(rev AS DECIMAL(27,4))) OVER (
+                   ORDER BY rev DESC, l_partkey) AS DOUBLE)
+                 / CAST(SUM(CAST(rev AS DECIMAL(27,4))) OVER () AS DOUBLE)
+                 AS cumshare
+        FROM per_part
+    ),
+    classed AS (
+        SELECT CASE WHEN cumshare <= {ABC_A_CUT} THEN 'A'
+                    WHEN cumshare <= {ABC_B_CUT} THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(CAST(rev AS DECIMAL(27,4))) AS DOUBLE), 4)
+             AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    discounted revenue, walk the cumulative share, and cut classes at
+    80%/95% — the inventory-management classic
+    ("20% of SKUs carry 80% of revenue") every assortment review runs.
+
+    Scale shape: the fact scan collapses to one revenue-per-part
+    aggregate (map-side decimal partials; |parts| rows — the
+    dimension's cardinality, metadata-sized next to the fact table at
+    any SF); the cumulative window then runs over that aggregate. The
+    single-partition ordered window over |parts| is the honest cost
+    of an exact global Pareto curve — at 100 TB you'd range-partition
+    by the rank key and two-pass the prefix sums exactly like
+    sequence_packing (pipeline3.py) does; the per-part aggregate is
+    small enough here that the direct window is the right local plan.
+
+    Determinism: both cumulative and total revenue sums are
+    decimal-accumulated; the rank order is unique ((rev DESC,
+    partkey)); class cuts compare identical IEEE doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), alias="rev")
+    )
+    wcum = W.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    cumshare = (
+        F.sum(F.col("rev").cast("decimal(27,4)")).over(wcum).cast("double")
+        / F.sum(F.col("rev").cast("decimal(27,4)"))
+        .over(W.partitionBy())
+        .cast("double")
+    )
+    classed = per_part.select(
+        F.when(cumshare <= ABC_A_CUT, "A")
+        .when(cumshare <= ABC_B_CUT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(dsum("rev"), 4).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

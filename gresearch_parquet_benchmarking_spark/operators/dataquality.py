@@ -180,3 +180,58 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(*_row("nchars_consistent", "documents", F.col("n"), F.col("bad_len"))),
     ]
     return reduce(lambda a, b: a.unionByName(b), rows).orderBy("check_name")
+
+
+FRESHNESS_STALE_US = 24 * 3600 * 1_000_000  # stale = lagging > 1 day
+
+
+@query(
+    "events_freshness_lag",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT event_type,
+               MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(max_ts_us) AS gmax FROM per_type)
+    SELECT per_type.event_type, per_type.n_events,
+           per_type.max_ts_us,
+           g.gmax - per_type.max_ts_us AS lag_us,
+           (g.gmax - per_type.max_ts_us) // 60000000 AS lag_minutes,
+           g.gmax - per_type.max_ts_us > {FRESHNESS_STALE_US} AS stale
+    FROM per_type CROSS JOIN g
+    ORDER BY event_type
+    """,
+)
+def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness monitor: how far each event type's newest
+    record lags the newest record overall — the first DQ check every
+    ingestion SLA dashboard runs (a topic whose max timestamp stalls
+    a day behind the rest means its producer, not the pipeline, is
+    down). Integer epoch-µs end to end; the stale flag fires at 24 h.
+
+    Scale shape: one map-side-combinable MAX/COUNT per event type
+    (constant-width keys), then a broadcast of the 1-row global MAX
+    onto the type-count-sized aggregate — the corpus is scanned once
+    and nothing row-sized ever joins or shuffles."""
+    ev = load_events(spark, sf_dir).select("event_type", "ts_us")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts_us").alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = per_type.agg(F.max("max_ts_us").alias("gmax"))
+    lag = F.col("gmax") - F.col("max_ts_us")
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "max_ts_us",
+            lag.alias("lag_us"),
+            # integer div only: double division corrupts µs-scale values
+            F.expr("(gmax - max_ts_us) div 60000000").alias("lag_minutes"),
+            (lag > FRESHNESS_STALE_US).alias("stale"),
+        )
+        .orderBy("event_type")
+    )

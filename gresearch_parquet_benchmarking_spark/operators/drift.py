@@ -224,3 +224,99 @@ def drift_psi_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("psi", "n_bins_used", "t_ref", "t_cur", "drift_detected")
     )
+
+
+CENTROID_COS_WARN = 0.98  # centroid-cosine floor before flagging drift
+
+
+@query(
+    "drift_embedding_centroid",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id % 2 AS grp,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT grp, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM vecs
+    ),
+    cent AS (
+        SELECT grp, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM flat GROUP BY grp, i
+    ),
+    paired AS (
+        SELECT a.i, a.cx AS c0, b.cx AS c1
+        FROM (SELECT i, cx FROM cent WHERE grp = 0) a
+        JOIN (SELECT i, cx FROM cent WHERE grp = 1) b USING (i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+           ROUND(sqrt(CAST(SUM(CAST((c0 - c1) * (c0 - c1)
+                                    AS DECIMAL(27,12))) AS DOUBLE)), 6)
+             AS l2_shift,
+           ROUND(CAST(SUM(CAST(c0 * c1 AS DECIMAL(27,12))) AS DOUBLE)
+                 / (sqrt(CAST(SUM(CAST(c0 * c0 AS DECIMAL(27,12))) AS DOUBLE))
+                    * sqrt(CAST(SUM(CAST(c1 * c1 AS DECIMAL(27,12))) AS DOUBLE))),
+                 6) AS centroid_cos,
+           CAST(SUM(CAST(c0 * c1 AS DECIMAL(27,12))) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(c0 * c0 AS DECIMAL(27,12))) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(c1 * c1 AS DECIMAL(27,12))) AS DOUBLE)))
+             < {CENTROID_COS_WARN} AS drift_detected
+    FROM paired
+    """,
+)
+def drift_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: centroid L2 shift and centroid
+    cosine between the reference and ingest halves (even vs odd
+    vec_id — the same deterministic split the KS/PSI monitors use).
+    The first-moment check an embedding pipeline runs when the
+    upstream encoder, preprocessing, or corpus mix may have changed —
+    cheap enough for every batch, and a centroid that moves (cosine
+    below the warn floor) is an unambiguous "re-validate the index /
+    re-calibrate thresholds" signal.
+
+    Scale shape: one pass flattens vectors to (half, dim) partial
+    sums — map-side combinable, constant-width keys, |dims|·2 rows
+    out — and every subsequent join/aggregate runs on that
+    dims-sized table. No pairwise anything.
+
+    Determinism: per-dim means and all three quadratic sums
+    decimal-accumulate (rule 1); the shift/cosine arithmetic is one
+    IEEE tree over identical doubles on both engines."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import dsum
+
+    vec = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    flat = vec.select("grp", F.posexplode("v").alias("i0", "x")).select(
+        "grp", (F.col("i0") + 1).alias("i"), "x"
+    )
+    cent = flat.groupBy("grp", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cx")
+    )
+    a = cent.filter(F.col("grp") == 0).select("i", F.col("cx").alias("c0"))
+    b = cent.filter(F.col("grp") == 1).select(
+        F.col("i").alias("i_b"), F.col("cx").alias("c1")
+    )
+    paired = a.join(b, F.col("i") == F.col("i_b"))
+    cos = (
+        dsum(F.col("c0") * F.col("c1"), scale=12)
+        / (
+            F.sqrt(dsum(F.col("c0") * F.col("c0"), scale=12))
+            * F.sqrt(dsum(F.col("c1") * F.col("c1"), scale=12))
+        )
+    )
+    return paired.agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.round(
+            F.sqrt(dsum((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")), scale=12)),
+            6,
+        ).alias("l2_shift"),
+        F.round(cos, 6).alias("centroid_cos"),
+        (cos < CENTROID_COS_WARN).alias("drift_detected"),
+    )
