@@ -150,6 +150,7 @@ FULL_ONLY_QUERIES = [
     "orders_abc_pareto",
     "drift_embedding_centroid",
     "events_freshness_lag",
+    "retrieval_ndcg_bm25",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -250,3 +250,164 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("noun")
     )
+
+
+NDCG_K = 5  # eval depth — matches the BM25 serving cut
+
+
+def _ndcg_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    n AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(27,0))) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    q(term) AS (VALUES {terms}),
+    tf AS (
+        SELECT t.doc_id, q.term, COUNT(*) AS tf
+        FROM toks t JOIN q ON t.token = q.term
+        GROUP BY t.doc_id, q.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.term, tf.doc_id, tf.tf,
+               ROUND(
+                   LN(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / n.avgdl)),
+                   6) AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT term, doc_id, tf,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY score DESC, doc_id) AS rnk,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS ideal_pos
+        FROM scored
+    ),
+    dcg AS (
+        SELECT term,
+               CAST(SUM(CAST(CASE WHEN rnk <= {NDCG_K}
+                    THEN tf / log2(rnk + 1.0) ELSE 0.0 END
+                    AS DECIMAL(27,12))) AS DOUBLE) AS dcg,
+               CAST(SUM(CAST(CASE WHEN ideal_pos <= {NDCG_K}
+                    THEN tf / log2(ideal_pos + 1.0) ELSE 0.0 END
+                    AS DECIMAL(27,12))) AS DOUBLE) AS idcg,
+               CAST(SUM(CASE WHEN rnk <= {NDCG_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ranked
+        FROM ranked GROUP BY term
+    )
+    SELECT term, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+           ROUND(dcg / idcg, 6) AS ndcg, n_ranked
+    FROM dcg ORDER BY term
+    """
+
+
+@query("retrieval_ndcg_bm25", oracle=_ndcg_sql)
+def retrieval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{NDCG_K} of the BM25 ranking per query term, with graded
+    relevance = raw term frequency (the label-free proxy eval: BM25's
+    length/saturation normalization is being judged against pure
+    occurrence counts — Järvelin & Kekäläinen 2002 nDCG). An nDCG
+    well below 1 on a term flags where BM25's dl-normalization
+    reorders heavily relative to raw tf — the per-query ranking
+    diagnostic every retrieval stack tracks alongside recall.
+
+    Scale shape: identical postings pipeline to text_bm25_search (the
+    term-filtered tf relation IS the inverted index slice); both the
+    system and ideal rankings are windows over the same term-keyed
+    postings partition — one exchange serves both — and the DCG
+    rollup is a |terms|-row aggregation.
+
+    Determinism: both DCG sums decimal-accumulate their ≤{NDCG_K}
+    irrational gain terms (rule 1); ranks tie-break on doc_id; the
+    final division is one IEEE op over identical doubles."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    dl = track_persist(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
+    n_row = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(27,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame([(t,) for t in BM25_TERMS], ["term"])
+    tf = track_persist(
+        toks.join(F.broadcast(qterms), toks.token == qterms.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    score = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_row))
+        .select("term", "doc_id", "tf", score.alias("score"))
+    )
+    wterm = W.partitionBy("term")
+    ranked = scored.select(
+        "term",
+        "tf",
+        F.row_number()
+        .over(wterm.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rnk"),
+        F.row_number()
+        .over(wterm.orderBy(F.desc("tf"), F.asc("doc_id")))
+        .alias("ideal_pos"),
+    )
+    gain = F.col("tf") / F.log2(F.col("rnk") + F.lit(1.0))
+    igain = F.col("tf") / F.log2(F.col("ideal_pos") + F.lit(1.0))
+    agg = ranked.groupBy("term").agg(
+        F.sum(
+            F.when(F.col("rnk") <= NDCG_K, gain)
+            .otherwise(0.0)
+            .cast("decimal(27,12)")
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.sum(
+            F.when(F.col("ideal_pos") <= NDCG_K, igain)
+            .otherwise(0.0)
+            .cast("decimal(27,12)")
+        )
+        .cast("double")
+        .alias("idcg"),
+        F.sum(F.when(F.col("rnk") <= NDCG_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ranked"),
+    )
+    return agg.select(
+        "term",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        "n_ranked",
+    ).orderBy("term")
