@@ -151,6 +151,9 @@ FULL_ONLY_QUERIES = [
     "drift_embedding_centroid",
     "events_freshness_lag",
     "retrieval_ndcg_bm25",
+    "tokenizer_vocab_coverage",
+    "dedup_substring_coverage",
+    "orders_cohort_ltv",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

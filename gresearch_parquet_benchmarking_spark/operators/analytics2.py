@@ -695,3 +695,110 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey,
+               date_part('year', o_orderdate) * 12
+                 + date_part('month', o_orderdate) AS mi,
+               o_totalprice AS price
+        FROM orders
+    ),
+    first_mi AS (
+        SELECT o_custkey, MIN(mi) AS cohort_mi FROM om GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort_mi, COUNT(*) AS n_customers
+        FROM first_mi GROUP BY cohort_mi
+    ),
+    cells AS (
+        SELECT f.cohort_mi, om.mi - f.cohort_mi AS offset_m,
+               CAST(SUM(CAST(om.price AS DECIMAL(27,4))) AS DOUBLE) AS rev
+        FROM om JOIN first_mi f ON om.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT cohort_mi, offset_m, rev,
+               CAST(SUM(CAST(rev AS DECIMAL(27,4))) OVER (
+                   PARTITION BY cohort_mi ORDER BY offset_m) AS DOUBLE)
+                 AS cum_rev
+        FROM cells
+    )
+    SELECT CAST(curve.cohort_mi AS BIGINT) AS cohort_mi,
+           CAST(curve.offset_m AS BIGINT) AS offset_m,
+           CAST(sizes.n_customers AS BIGINT) AS n_customers,
+           ROUND(curve.rev, 4) AS rev,
+           ROUND(curve.cum_rev, 4) AS cum_rev,
+           ROUND(curve.cum_rev / sizes.n_customers, 6) AS ltv_per_customer
+    FROM curve JOIN sizes USING (cohort_mi)
+    WHERE curve.offset_m <= 11
+    ORDER BY cohort_mi, offset_m
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by months-since-acquisition, normalized
+    per cohort member — the LTV table every growth/finance review
+    reads next to the retention triangle (cohort_retention covers the
+    WHO-returns counts; this covers the HOW-MUCH-they-spend curve).
+    First year of each cohort's life (offsets 0–11).
+
+    Scale shape: the cohort assignment is one per-customer MIN
+    aggregate joined back on o_custkey (both sides partition once on
+    the same key — at 100 TB this is the standard enrich join AQE
+    plans); everything after runs on the (cohort × offset) aggregate —
+    hundreds of rows at any SF — including the cumulative window.
+
+    Determinism: month indexes are integers; every revenue sum
+    (per-cell and the running cumulative) decimal-accumulates
+    (rule 1); LTV is one double division by an integer cohort size."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+        F.col("o_totalprice").alias("price"),
+    )
+    first_mi = om.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    sizes = first_mi.groupBy("cohort_mi").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    f2 = first_mi.select(
+        F.col("o_custkey").alias("ck"), F.col("cohort_mi").alias("cmi")
+    )
+    cells = (
+        om.join(f2, om.o_custkey == f2.ck)
+        .groupBy(
+            F.col("cmi").alias("cohort_mi"),
+            (F.col("mi") - F.col("cmi")).alias("offset_m"),
+        )
+        .agg(dsum("price", alias="rev"))
+    )
+    cum = (
+        F.sum(F.col("rev").cast("decimal(27,4)"))
+        .over(W.partitionBy("cohort_mi").orderBy("offset_m"))
+        .cast("double")
+    )
+    curve = cells.select("cohort_mi", "offset_m", "rev", cum.alias("cum_rev"))
+    s2 = sizes.select(
+        F.col("cohort_mi").alias("smi"), "n_customers"
+    )
+    return (
+        curve.join(s2, curve.cohort_mi == s2.smi)
+        .filter(F.col("offset_m") <= 11)
+        .select(
+            "cohort_mi",
+            "offset_m",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round("rev", 4).alias("rev"),
+            F.round("cum_rev", 4).alias("cum_rev"),
+            F.round(F.col("cum_rev") / F.col("n_customers"), 6).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_mi", "offset_m")
+    )

@@ -701,3 +701,123 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+COV_GRAM = 8        # token-gram length for substring-coverage scan
+COV_HIGH_RATE = 0.5  # "mostly duplicated elsewhere" flag threshold
+
+
+@query(
+    "dedup_substring_coverage",
+    oracle=f"""
+    WITH corpus AS ({{corpus}}),
+    toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM corpus
+    ),
+    pos AS (
+        SELECT doc_id, source, t,
+               unnest(generate_series(1, LEN(t) - {COV_GRAM} + 1)) AS i
+        FROM toks WHERE LEN(t) >= {COV_GRAM}
+    ),
+    occ AS (
+        SELECT doc_id, source,
+               md5(array_to_string(t[i:i + {COV_GRAM} - 1], ' ')) AS g
+        FROM pos
+    ),
+    dup AS (
+        SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT occ.doc_id, MIN(occ.source) AS source,
+               COUNT(*) AS total_grams,
+               SUM(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END) AS dup_grams
+        FROM occ LEFT JOIN dup ON occ.g = dup.g
+        GROUP BY occ.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dup_grams) AS BIGINT) AS dup_grams,
+           CAST(SUM(total_grams) AS BIGINT) AS total_grams,
+           CAST(CAST(SUM(CAST(dup_grams * 1.0 / total_grams
+                              AS DECIMAL(27,12))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS mean_coverage,
+           CAST(SUM(CASE WHEN dup_grams * 1.0 / total_grams >= {COV_HIGH_RATE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM per_doc GROUP BY source ORDER BY source
+    """.format(corpus=_sql_corpus("excerpt")),
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring coverage (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    statistic, gram-rate form): for every doc, the fraction of its
+    {COV_GRAM}-token gram positions whose gram also occurs in ANOTHER
+    document — "how much of this text is memorized elsewhere". The
+    planted excerpt corpus makes the signal concrete: a contained
+    quote scores ~1.0 (everything it has lives in its source), the
+    source scores ~1/3, and both are invisible to whole-doc Jaccard.
+    Rolled up per source with the mostly-duplicated count.
+
+    Scale shape: gram occurrences explode to ~token-count rows ONCE;
+    the duplicated-gram set is one constant-width-key aggregation
+    (HAVING n_docs ≥ 2 — its output is the small side at any real
+    dup rate, so AQE broadcasts it back onto the occurrences); the
+    per-doc and per-source rollups are plain keyed aggregations.
+    Exact-span extension (merging overlapping hits) would add one
+    per-doc sort — the gram rate is the standard filtering proxy.
+
+    Determinism: integer gram counts; per-doc rates are one IEEE
+    division; the per-source mean decimal-accumulates the rates
+    (rule 1)."""
+    corpus = _corpus(spark, sf_dir, "excerpt")
+    toks = corpus.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= COV_GRAM)
+    occ = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(COV_GRAM - 1))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(F.expr(f"concat_ws(' ', slice(t, i, {COV_GRAM}))")).alias("g"),
+    )
+    occ = track_persist(occ)
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select(F.col("g").alias("g2"))
+    )
+    per_doc = (
+        occ.join(dup, occ.g == dup.g2, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.when(F.col("g2").isNotNull(), 1).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+    )
+    rate = F.col("dup_grams") * F.lit(1.0) / F.col("total_grams")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_grams").cast("long").alias("dup_grams"),
+            F.sum("total_grams").cast("long").alias("total_grams"),
+            (
+                F.sum(rate.cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("mean_coverage"),
+            F.sum(F.when(rate >= COV_HIGH_RATE, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .orderBy("source")
+    )

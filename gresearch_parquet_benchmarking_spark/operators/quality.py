@@ -1069,3 +1069,99 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("rule")
+
+
+VOCAB_SWEEP = (100, 1000, 10000)  # candidate vocabulary sizes
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM vocab
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM ranked
+    ),
+    sweep(v_size) AS (VALUES {", ".join(f"({v})" for v in VOCAB_SWEEP)})
+    SELECT sweep.v_size,
+           CAST(SUM(CASE WHEN ranked.rnk <= sweep.v_size THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_types_used,
+           CAST(SUM(CASE WHEN ranked.rnk <= sweep.v_size THEN ranked.cnt
+                    ELSE 0 END) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(SUM(CASE WHEN ranked.rnk <= sweep.v_size
+                          THEN ranked.cnt ELSE 0 END) AS BIGINT) * 1.0
+                 / MIN(tot.total_tokens), 6) AS coverage,
+           MIN(tot.total_tokens) AS total_tokens,
+           MIN(tot.n_types) AS n_types
+    FROM ranked CROSS JOIN sweep CROSS JOIN tot
+    GROUP BY sweep.v_size
+    ORDER BY sweep.v_size
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage of the top-V frequency vocabulary for V in
+    {VOCAB_SWEEP} — the OOV-rate curve that sizes a tokenizer's
+    vocabulary (coverage(V) is exactly 1 − OOV-rate under a
+    frequency-built word vocab; where the curve flattens is where
+    extra vocab stops paying). Zipfian corpora saturate fast — this
+    query IS the empirical check.
+
+    Scale shape: the corpus collapses to the word-count vocabulary
+    (map-side partials, Heaps-law sublinear size); the frequency
+    ranking and the 3-way sweep rollup run on that vocabulary table.
+    The sweep is a |V-candidates|-row broadcast cross join onto the
+    vocab — each vocab row is scored against all 3 cutoffs in one
+    pass, no re-scan per candidate.
+
+    Determinism: integer counts and ranks (cnt DESC, token tiebreak);
+    coverage is one double division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("rnk"),
+    )
+    sweep = spark.createDataFrame([(v,) for v in VOCAB_SWEEP], ["v_size"])
+    tot = ranked.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    hit = F.col("rnk") <= F.col("v_size")
+    return (
+        ranked.crossJoin(F.broadcast(sweep))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("v_size")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_types_used"),
+            F.sum(F.when(hit, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.sum(F.when(hit, F.col("cnt")).otherwise(0)).cast("long")
+                * F.lit(1.0)
+                / F.min("total_tokens"),
+                6,
+            ).alias("coverage"),
+            F.min("total_tokens").alias("total_tokens"),
+            F.min("n_types").alias("n_types"),
+        )
+        .orderBy("v_size")
+    )
