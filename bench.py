@@ -154,6 +154,8 @@ FULL_ONLY_QUERIES = [
     "tokenizer_vocab_coverage",
     "dedup_substring_coverage",
     "orders_cohort_ltv",
+    "events_inter_arrival_percentiles",
+    "supplier_otd_scorecard",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -1303,3 +1303,64 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path", "n_users", "rnk")
         .orderBy("rnk")
     )
+
+
+@query(
+    "events_inter_arrival_percentiles",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT)
+                 - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+                 AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(CAST(quantile_cont(gap_us, 0.5) AS DOUBLE), 6) AS p50_us,
+           ROUND(CAST(quantile_cont(gap_us, 0.9) AS DOUBLE), 6) AS p90_us,
+           ROUND(CAST(quantile_cont(gap_us, 0.99) AS DOUBLE), 6) AS p99_us,
+           MAX(gap_us) AS max_gap_us
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: for each event,
+    the gap since the SAME USER's previous action (any type), rolled
+    up into exact p50/p90/p99 — the latency-of-engagement profile that
+    sets sessionization gap thresholds and streaming watermark widths
+    empirically instead of by folklore (the p99 IS the watermark you
+    need to keep 99% of late joins).
+
+    Scale shape: one per-user window (hash exchange on user_id, the
+    partitioning every other per-user analytic here reuses) computes
+    gaps map-side after the sort; the percentile aggregation then
+    groups by the tiny event_type key. Exact interpolated percentiles
+    for the oracle gate (Spark percentile ≙ DuckDB quantile_cont);
+    the 100 TB path swaps in approx_percentile, benchmarked not
+    hash-gated (agg_percentiles note).
+
+    Determinism: gaps are exact integer µs with (ts, event_id) tie
+    order pinned; interpolation arithmetic is one IEEE tree over
+    identical sorted integers."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "event_id", "ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(
+        W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    )
+    seq = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.percentile("gap_us", F.lit(0.5)).cast("double"), 6).alias("p50_us"),
+            F.round(F.percentile("gap_us", F.lit(0.9)).cast("double"), 6).alias("p90_us"),
+            F.round(F.percentile("gap_us", F.lit(0.99)).cast("double"), 6).alias("p99_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

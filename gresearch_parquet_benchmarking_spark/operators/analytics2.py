@@ -802,3 +802,79 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_mi", "offset_m")
     )
+
+
+OTD_DAYS = 30  # on-time = shipped within 30 days of order placement
+
+
+@query(
+    "supplier_otd_scorecard",
+    oracle=f"""
+    WITH lines AS (
+        SELECT l.l_suppkey,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CASE WHEN delay_days <= {OTD_DAYS} THEN 1 ELSE 0 END)
+                      AS BIGINT) * 1.0 / COUNT(*), 6) AS otd_rate,
+           CAST(CAST(SUM(CAST(delay_days AS DECIMAL(27,0))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_delay_days,
+           MAX(delay_days) AS max_delay_days
+    FROM lines JOIN supplier s ON lines.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name ORDER BY s.s_name
+    """,
+)
+def supplier_otd_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-delivery scorecard per supplier: ship-lag days between
+    order placement and each line's ship date, with the on-time rate
+    (≤ 30 days), mean and worst lag — the vendor-performance review
+    every procurement org runs monthly.
+
+    Scale shape: the one corpus-sized operation is the
+    lineitem↔orders fact-fact equi-join on l_orderkey — the exact
+    join sources/bucketing.py exists to make Exchange-free at scale
+    (layout_bucketed_join pins the plan); here AQE plans the shuffle
+    join and everything downstream is a supplier-keyed rollup with
+    map-side partials plus a broadcast of the supplier dim.
+
+    Determinism: day lags are exact integers (DATE-truncated on both
+    engines); the mean decimal-accumulates; rates are one IEEE
+    division of exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("placed")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lines = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_suppkey",
+        # long: DuckDB date_diff is BIGINT, Spark datediff is INT —
+        # the driver hashes typed values (rule 5)
+        F.datediff("ship", "placed").cast("long").alias("delay_days"),
+    )
+    return (
+        lines.join(sup, lines.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.when(F.col("delay_days") <= OTD_DAYS, 1).otherwise(0))
+                .cast("long")
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("otd_rate"),
+            (
+                F.sum(F.col("delay_days").cast("decimal(27,0)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("avg_delay_days"),
+            F.max("delay_days").alias("max_delay_days"),
+        )
+        .orderBy("s_name")
+    )
