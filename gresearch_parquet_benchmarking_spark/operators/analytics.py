@@ -1316,15 +1316,38 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
                  AS gap_us
         FROM events
+    ),
+    g AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM seq WHERE gap_us IS NOT NULL
+    ),
+    a AS (
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_gaps,
+               MAX(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN gap_us END) AS lo50,
+               MAX(CASE WHEN rn = ((n-1)*50)//100 + 2 THEN gap_us END) AS hi50,
+               MAX(CASE WHEN rn = ((n-1)*90)//100 + 1 THEN gap_us END) AS lo90,
+               MAX(CASE WHEN rn = ((n-1)*90)//100 + 2 THEN gap_us END) AS hi90,
+               MAX(CASE WHEN rn = ((n-1)*99)//100 + 1 THEN gap_us END) AS lo99,
+               MAX(CASE WHEN rn = ((n-1)*99)//100 + 2 THEN gap_us END) AS hi99,
+               MAX(gap_us) AS max_gap_us
+        FROM g GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
-           ROUND(CAST(quantile_cont(gap_us, 0.5) AS DOUBLE), 6) AS p50_us,
-           ROUND(CAST(quantile_cont(gap_us, 0.9) AS DOUBLE), 6) AS p90_us,
-           ROUND(CAST(quantile_cont(gap_us, 0.99) AS DOUBLE), 6) AS p99_us,
-           MAX(gap_us) AS max_gap_us
-    FROM seq WHERE gap_us IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
+    SELECT event_type, n_gaps,
+           CAST(lo50*(100 - ((n_gaps-1)*50)%100)
+                + COALESCE(hi50, lo50)*(((n_gaps-1)*50)%100)
+                AS DOUBLE) / 100 AS p50_us,
+           CAST(lo90*(100 - ((n_gaps-1)*90)%100)
+                + COALESCE(hi90, lo90)*(((n_gaps-1)*90)%100)
+                AS DOUBLE) / 100 AS p90_us,
+           CAST(lo99*(100 - ((n_gaps-1)*99)%100)
+                + COALESCE(hi99, lo99)*(((n_gaps-1)*99)%100)
+                AS DOUBLE) / 100 AS p99_us,
+           max_gap_us
+    FROM a ORDER BY event_type
     """,
 )
 def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,15 +1360,19 @@ def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale shape: one per-user window (hash exchange on user_id, the
     partitioning every other per-user analytic here reuses) computes
-    gaps map-side after the sort; the percentile aggregation then
-    groups by the tiny event_type key. Exact interpolated percentiles
-    for the oracle gate (Spark percentile ≙ DuckDB quantile_cont);
-    the 100 TB path swaps in approx_percentile, benchmarked not
-    hash-gated (agg_percentiles note).
+    gaps map-side; a second window ranks gaps within the tiny
+    event_type key, and one conditional aggregation picks the two
+    bracketing order statistics per quantile. The 100 TB path swaps
+    in approx_percentile, benchmarked not hash-gated (agg_percentiles
+    note).
 
-    Determinism: gaps are exact integer µs with (ts, event_id) tie
-    order pinned; interpolation arithmetic is one IEEE tree over
-    identical sorted integers."""
+    Determinism: built-in percentile/quantile_cont interpolate in
+    doubles whose ULP at µs magnitudes (~3e-5 at 1e11) exceeds any
+    rounding guard — measured flaky at sf0.1. Instead the
+    interpolated quantile is computed EXACTLY: pos = (n-1)·q%,
+    r = pos mod 100, p = (v_lo·(100−r) + v_hi·r)/100 — a BIGINT
+    numerator < 2^53, so the one double division is correctly
+    rounded and bit-identical on both engines."""
     ev = load_events(spark, sf_dir).select("user_id", "event_type", "event_id", "ts_us")
     gap = F.col("ts_us") - F.lag("ts_us").over(
         W.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -1353,14 +1380,39 @@ def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     seq = ev.select("event_type", gap.alias("gap_us")).filter(
         F.col("gap_us").isNotNull()
     )
-    return (
-        seq.groupBy("event_type")
-        .agg(
-            F.count("gap_us").alias("n_gaps"),
-            F.round(F.percentile("gap_us", F.lit(0.5)).cast("double"), 6).alias("p50_us"),
-            F.round(F.percentile("gap_us", F.lit(0.9)).cast("double"), 6).alias("p90_us"),
-            F.round(F.percentile("gap_us", F.lit(0.99)).cast("double"), 6).alias("p99_us"),
-            F.max("gap_us").alias("max_gap_us"),
-        )
-        .orderBy("event_type")
+    g = seq.select(
+        "event_type",
+        "gap_us",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("gap_us"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
     )
+
+    def _lo_rn(q: int):  # 1-indexed rank of the lower bracketing value
+        return F.expr(f"((n - 1) * {q}) div 100") + F.lit(1)
+
+    aggs = [F.max("n").alias("n_gaps")]
+    for q in (50, 90, 99):
+        aggs.append(
+            F.max(F.when(F.col("rn") == _lo_rn(q), F.col("gap_us"))).alias(f"lo{q}")
+        )
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == _lo_rn(q) + F.lit(1), F.col("gap_us"))
+            ).alias(f"hi{q}")
+        )
+    aggs.append(F.max("gap_us").alias("max_gap_us"))
+    a = g.groupBy("event_type").agg(*aggs)
+
+    def _p(q: int):
+        r = ((F.col("n_gaps") - F.lit(1)) * F.lit(q)) % F.lit(100)
+        num = F.col(f"lo{q}") * (F.lit(100) - r) + F.coalesce(
+            F.col(f"hi{q}"), F.col(f"lo{q}")
+        ) * r
+        return (num.cast("double") / F.lit(100)).alias(f"p{q}_us")
+
+    return a.select(
+        "event_type", "n_gaps", _p(50), _p(90), _p(99), "max_gap_us"
+    ).orderBy("event_type")

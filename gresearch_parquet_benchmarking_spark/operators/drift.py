@@ -320,3 +320,108 @@ def drift_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("centroid_cos"),
         (cos < CENTROID_COS_WARN).alias("drift_detected"),
     )
+
+
+JSD_WARN_BITS = 0.05  # token-distribution divergence warn threshold
+
+
+@query(
+    "drift_token_jsd",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id % 2 AS grp,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    bytok AS (
+        SELECT token,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+        FROM toks WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1
+        FROM bytok
+    ),
+    terms AS (
+        SELECT bytok.token,
+               bytok.c0 * 1.0 / tot.t0 AS p,
+               bytok.c1 * 1.0 / tot.t1 AS q
+        FROM bytok CROSS JOIN tot
+    ),
+    j AS (
+        SELECT CAST(SUM(CAST(
+                 0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                        ELSE 0.0 END)
+                 + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                          ELSE 0.0 END)
+               AS DECIMAL(27,12))) AS DOUBLE) AS jsd_nats,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens_union
+        FROM terms
+    )
+    SELECT j.n_tokens_union, tot.t0, tot.t1,
+           ROUND(j.jsd_nats, 9) AS jsd_nats,
+           ROUND(j.jsd_nats / ln(2.0), 9) AS jsd_bits,
+           j.jsd_nats / ln(2.0) > {JSD_WARN_BITS} AS drift_detected
+    FROM j CROSS JOIN tot
+    """,
+)
+def drift_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the TOKEN DISTRIBUTIONS of
+    the reference and ingest halves (even vs odd doc_id) — the
+    content-level drift monitor that completes the family: KS/PSI
+    watch scalar features, the centroid monitor watches embedding
+    space, JSD watches what the text actually says (vocabulary mix).
+    Symmetric, bounded (≤1 bit), defined even on disjoint vocabularies
+    — exactly why monitoring uses it over raw KL.
+
+    Scale shape: ONE aggregation folds the corpus to per-token counts
+    for both halves simultaneously (map-side partials, conditional
+    sums — no join between halves); the 2-value totals row broadcasts
+    back onto the vocabulary-sized table, and the JSD reduction is a
+    single decimal-accumulated sum. Vocabulary grows Heaps-sublinear.
+
+    Determinism: integer counts; p/q/m and each ln term are one IEEE
+    tree over identical doubles; the sum over vocabulary terms
+    decimal-accumulates (rule 1); zero-count branches contribute an
+    exact 0.0 on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("grp"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    bytok = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = bytok.agg(
+        F.sum("c0").cast("long").alias("t0"),
+        F.sum("c1").cast("long").alias("t1"),
+    )
+    terms = bytok.crossJoin(F.broadcast(tot)).select(
+        (F.col("c0") * F.lit(1.0) / F.col("t0")).alias("p"),
+        (F.col("c1") * F.lit(1.0) / F.col("t1")).alias("q"),
+        "t0",
+        "t1",
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.lit(0.5) * F.when(
+        F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)
+    ).otherwise(0.0) + F.lit(0.5) * F.when(
+        F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)
+    ).otherwise(0.0)
+    j = terms.agg(
+        F.sum(term.cast("decimal(27,12)")).cast("double").alias("jsd_nats"),
+        F.count(F.lit(1)).alias("n_tokens_union"),
+        F.min("t0").alias("t0"),
+        F.min("t1").alias("t1"),
+    )
+    bits = F.col("jsd_nats") / F.log(F.lit(2.0))
+    return j.select(
+        "n_tokens_union",
+        "t0",
+        "t1",
+        F.round("jsd_nats", 9).alias("jsd_nats"),
+        F.round(bits, 9).alias("jsd_bits"),
+        (bits > JSD_WARN_BITS).alias("drift_detected"),
+    )

@@ -731,3 +731,124 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_edges_remaining") == F.col("n_prev")).alias("converged"),
         )
     )
+
+
+@query(
+    "graph_brand_modularity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    com AS (SELECT p_partkey, p_brand FROM part),
+    labeled AS (
+        SELECT pairs.u, pairs.v, cu.p_brand AS bu, cv.p_brand AS bv
+        FROM pairs
+        JOIN com cu ON pairs.u = cu.p_partkey
+        JOIN com cv ON pairs.v = cv.p_partkey
+    ),
+    m AS (SELECT COUNT(*) AS m FROM labeled),
+    deg AS (
+        SELECT brand, CAST(SUM(cnt) AS BIGINT) AS deg_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (
+            SELECT bu AS brand, u AS node, COUNT(*) AS cnt
+            FROM labeled GROUP BY bu, u
+            UNION ALL
+            SELECT bv AS brand, v AS node, COUNT(*) AS cnt
+            FROM labeled GROUP BY bv, v
+        ) d GROUP BY brand
+    ),
+    intra AS (
+        SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS intra_edges
+        FROM labeled WHERE bu = bv GROUP BY bu
+    )
+    SELECT deg.brand,
+           deg.n_nodes,
+           COALESCE(intra.intra_edges, 0) AS intra_edges,
+           deg.deg_sum,
+           ROUND(COALESCE(intra.intra_edges, 0) * 1.0 / m.m
+                 - (deg.deg_sum * 1.0 / (2 * m.m))
+                   * (deg.deg_sum * 1.0 / (2 * m.m)), 9) AS contrib
+    FROM deg LEFT JOIN intra ON deg.brand = intra.brand
+    CROSS JOIN m
+    ORDER BY deg.brand
+    """,
+)
+def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contributions of the BRAND partition over the
+    co-purchase graph: per brand c, e_c/m − (d_c/2m)² — "do same-brand
+    parts co-occur in baskets more than a degree-preserving random
+    graph predicts?" The community-quality score every clustering of a
+    graph is judged by, here evaluating a GIVEN labeling (the
+    assortment view); summing `contrib` yields global Q.
+
+    Scale shape: the edge relation is the same order-blocked distinct
+    pair build triangle counting uses (per-order fanout bounded); the
+    brand labeling is two broadcast joins against the part dim; degree
+    and intra-edge tallies are map-side-combinable aggregations on
+    brand/node keys, and the modularity arithmetic runs on the
+    |brands|-sized rollup with the 1-row edge total broadcast onto it.
+
+    Determinism: all tallies are exact integers; each contribution is
+    one IEEE tree; left-join zeros are exact."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        track_persist,
+    )
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cu = part.select(F.col("p_partkey").alias("uk"), F.col("p_brand").alias("bu"))
+    cv = part.select(F.col("p_partkey").alias("vk"), F.col("p_brand").alias("bv"))
+    labeled = (
+        pairs.join(F.broadcast(cu), F.col("u") == F.col("uk"))
+        .join(F.broadcast(cv), F.col("v") == F.col("vk"))
+        .select("u", "v", "bu", "bv")
+    )
+    labeled = track_persist(labeled)
+    m = labeled.agg(F.count(F.lit(1)).alias("m"))
+    du = labeled.groupBy(F.col("bu").alias("brand"), F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dv = labeled.groupBy(F.col("bv").alias("brand"), F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    deg = (
+        du.unionByName(dv)
+        .groupBy("brand")
+        .agg(
+            F.sum("cnt").cast("long").alias("deg_sum"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    intra = (
+        labeled.filter(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand_i"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    joined = (
+        deg.join(intra, deg.brand == intra.brand_i, "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "deg_sum",
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)) * F.lit(1.0) / F.col("m")
+                - (F.col("deg_sum") * F.lit(1.0) / (2 * F.col("m")))
+                * (F.col("deg_sum") * F.lit(1.0) / (2 * F.col("m"))),
+                9,
+            ).alias("contrib"),
+        )
+    )
+    return joined.orderBy("brand")

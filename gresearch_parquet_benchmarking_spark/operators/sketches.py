@@ -48,7 +48,8 @@ from gresearch_parquet_benchmarking_spark.functions.text_funcs import (
     md5_hash64,
     sql_md5_hash64,
 )
-from gresearch_parquet_benchmarking_spark.operators.registry import query
+from gresearch_parquet_benchmarking_spark.operators.registry import query, track_persist
+from gresearch_parquet_benchmarking_spark.sources.events import load_events
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
 HASH_BITS = 60                      # 15 hex chars; < 2^63 so BIGINT-safe
@@ -594,4 +595,107 @@ def sketch_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.join(x, "day")
         .select("day", "m_used", "s_scaled", "est_distinct", "exact_distinct")
         .orderBy("day")
+    )
+
+
+@query(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH ab AS (
+        SELECT {_sql_h60('user_id')} AS h,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT h, in_a, in_b,
+               row_number() OVER (ORDER BY h) AS rn
+        FROM ab
+    ),
+    sk AS (
+        SELECT COUNT(*)::BIGINT AS k_seen, MAX(h) AS theta,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k_both
+        FROM r WHERE rn <= {KMV_K}
+    ),
+    ex AS (
+        SELECT COUNT(*)::BIGINT AS exact_union,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS exact_inter
+        FROM ab
+    )
+    SELECT sk.k_seen, sk.theta, sk.k_both,
+           ROUND(CASE WHEN sk.k_seen < {KMV_K} THEN CAST(sk.k_seen AS DOUBLE)
+                 ELSE {float(KMV_K - 1)!r} * {M_SCALE!r} / CAST(sk.theta AS DOUBLE)
+                 END, 4) AS union_est,
+           ROUND(sk.k_both * 1.0 / sk.k_seen, 6) AS jaccard_est,
+           ROUND((sk.k_both * 1.0 / sk.k_seen)
+                 * CASE WHEN sk.k_seen < {KMV_K} THEN CAST(sk.k_seen AS DOUBLE)
+                   ELSE {float(KMV_K - 1)!r} * {M_SCALE!r} / CAST(sk.theta AS DOUBLE)
+                   END, 4) AS inter_est,
+           ex.exact_union, ex.exact_inter
+    FROM sk CROSS JOIN ex
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches (Dasgupta et
+    al. 2016, "Theta-Sketch Framework"): estimate |clickers ∪ buyers|
+    from the union sketch's k-th minimum, and |clickers ∩ buyers| as
+    (fraction of the union's k minima present in both sets) × the
+    union estimate — the sketch algebra that answers audience-overlap
+    questions without ever materializing either set. Exact values ride
+    along for the error readout.
+
+    Scale shape: one pass folds events to (hash, in_a, in_b) with
+    map-side partials — constant-width rows, membership flags merged
+    by MAX — and the sketch is the k smallest of that relation (at
+    100 TB: per-partition top-k heap before one k·partitions-row
+    merge, as sketch_kmv_distinct documents). Set ops never touch raw
+    sets again — that is the point of the sketch.
+
+    Determinism: md5-derived 60-bit hashes are identical on both
+    engines; counts and flags are integers; the estimators are one
+    IEEE tree each."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ab = ev.groupBy(_h60(F.col("user_id")).alias("h")).agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("in_b"),
+    )
+    ab = track_persist(ab)
+    sk = (
+        ab.withColumn("rn", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(
+            F.count(F.lit(1)).alias("k_seen"),
+            F.max("h").alias("theta"),
+            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("k_both"),
+        )
+    )
+    ex = ab.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_inter"),
+    )
+    union_est = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(M_SCALE) / F.col("theta").cast("double")
+    )
+    jac = F.col("k_both") * F.lit(1.0) / F.col("k_seen")
+    return sk.crossJoin(F.broadcast(ex)).select(
+        "k_seen",
+        "theta",
+        "k_both",
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 4).alias("inter_est"),
+        "exact_union",
+        "exact_inter",
     )
