@@ -156,6 +156,14 @@ FULL_ONLY_QUERIES = [
     "orders_cohort_ltv",
     "events_inter_arrival_percentiles",
     "supplier_otd_scorecard",
+    "drift_token_jsd",
+    "graph_brand_modularity",
+    "sketch_kmv_setops",
+    "events_peak_concurrency",
+    "events_value_twap_daily",
+    "dq_benford_order_prices",
+    "skew_key_histogram",
+    "event_attribution_linear",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from gresearch_parquet_benchmarking_spark.operators.registry import (
+    dsum,
     query,
+    sql_davg,
+    sql_dsum,
     track_persist,
 )
 from gresearch_parquet_benchmarking_spark.sources.events import load_events
@@ -1416,3 +1419,361 @@ def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     return a.select(
         "event_type", "n_gaps", _p(50), _p(90), _p(99), "max_gap_us"
     ).orderBy("event_type")
+
+
+@query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+    ),
+    flag AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us)
+                    > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    ),
+    iv AS (
+        SELECT user_id, sid, MIN(ts_us) AS s,
+               MAX(ts_us) + {_SESSION_GAP_US} AS e
+        FROM sess GROUP BY user_id, sid
+    ),
+    seg AS (
+        SELECT d.day_num,
+               GREATEST(iv.s, d.day_num * {US_PER_DAY}) AS seg_s,
+               LEAST(iv.e, (d.day_num + 1) * {US_PER_DAY}) AS seg_e
+        FROM iv, LATERAL (
+            SELECT unnest(generate_series(iv.s // {US_PER_DAY},
+                                          (iv.e - 1) // {US_PER_DAY}))
+                   AS day_num
+        ) d
+    ),
+    b AS (
+        SELECT day_num, seg_s AS ts_us, 1 AS delta FROM seg
+        UNION ALL
+        SELECT day_num, seg_e AS ts_us, -1 AS delta FROM seg
+    ),
+    run AS (
+        SELECT day_num, delta,
+               SUM(delta) OVER (PARTITION BY day_num
+                                ORDER BY ts_us, delta
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b
+    )
+    SELECT day_num,
+           CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_session_segments,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM run GROUP BY day_num ORDER BY day_num
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT sessions per day — the capacity-planning number
+    (licenses, connection pools, serving replicas are all sized off
+    it). Sessions are the 30-min-gap intervals the `sessionization`
+    query defines, held open one gap past the last event; a session is
+    clipped into per-day segments, each segment contributes a +1/-1
+    boundary pair, and the peak is the max of the running boundary sum
+    — the classic interval-sweep, evaluated distributed.
+
+    Scale shape: the sweep's prefix sum is TWO-PASS like
+    sequence_packing — boundaries partition by (day, hour); per-hour
+    delta totals (a 24-rows/day metadata table) carry the base offset
+    via a tiny window, and the wide data only ever does a (day, hour)
+    window over its own hour — no single-task per-day scan. Session
+    building reuses the per-user sessionization exchange; the day
+    explode is bounded by session span (gap-bounded sessions rarely
+    cross two midnights).
+
+    Determinism: all integers. Equal-timestamp boundaries are ordered
+    (ts, delta) so session ends process before starts — the [s, e)
+    convention — and equal (ts, delta) rows yield the same prefix
+    multiset in any order, so MAX(cum) is exact on both engines."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us")
+    wf = W.partitionBy("user_id").orderBy("ts_us")
+    new_s = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(wf) > _SESSION_GAP_US, 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts_us",
+        F.sum(new_s).over(wf.rowsBetween(W.unboundedPreceding, 0)).alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("ts_us").alias("s"),
+        (F.max("ts_us") + F.lit(_SESSION_GAP_US)).alias("e"),
+    )
+    seg = iv.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {US_PER_DAY}"),
+                F.expr(f"(e - 1) div {US_PER_DAY}"),
+            )
+        ).alias("day_num"),
+        "s",
+        "e",
+    ).select(
+        "day_num",
+        F.greatest(F.col("s"), F.col("day_num") * US_PER_DAY).alias("seg_s"),
+        F.least(F.col("e"), (F.col("day_num") + 1) * US_PER_DAY).alias("seg_e"),
+    )
+    b = seg.select(
+        "day_num", F.col("seg_s").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        seg.select(
+            "day_num", F.col("seg_e").alias("ts_us"), F.lit(-1).alias("delta")
+        )
+    ).withColumn(
+        # hour RELATIVE to the row's day (0..24): a segment end falling
+        # exactly on next-midnight must sort AFTER hour 23 of its own
+        # day (hr=24), not wrap to hr=0 via hour-of-timestamp.
+        "hr",
+        F.expr(f"(ts_us - day_num * {US_PER_DAY}) div {US_PER_HOUR}"),
+    )
+    b = track_persist(b)
+    # pass 1: per-(day, hour) delta totals -> cumulative base offset
+    # over the 24-rows/day metadata table (window partitions by day
+    # over hours, never over boundary rows).
+    wh = W.partitionBy("day_num").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    base = (
+        b.groupBy("day_num", "hr")
+        .agg(F.sum("delta").alias("htot"))
+        .withColumn("base", F.coalesce(F.sum("htot").over(wh), F.lit(0)))
+        .select("day_num", "hr", "base")
+    )
+    # pass 2: local running sum within (day, hour) + carried base.
+    wl = (
+        W.partitionBy("day_num", "hr")
+        .orderBy("ts_us", "delta")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = b.join(base, ["day_num", "hr"]).select(
+        "day_num",
+        "delta",
+        (F.col("base") + F.sum("delta").over(wl)).alias("cum"),
+    )
+    return (
+        run.groupBy("day_num")
+        .agg(
+            F.max("cum").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_session_segments"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+        .orderBy("day_num")
+    )
+
+
+@query(
+    "events_value_twap_daily",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, event_id, value,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(epoch_us(ts) AS BIGINT) // {US_PER_DAY} AS day_num
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, day_num, value,
+               LEAD(ts_us) OVER (PARTITION BY event_type, day_num
+                                 ORDER BY ts_us, event_id) - ts_us
+                 AS gap_us
+        FROM ev
+    )
+    SELECT event_type, day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(gap_us) AS BIGINT) AS covered_us,
+           ROUND({sql_dsum('value * gap_us', 6)}
+                 / CAST(SUM(gap_us) AS BIGINT), 9) AS twap,
+           ROUND({sql_davg('value', 6)}, 9) AS simple_avg
+    FROM seg WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY event_type, day_num
+    ORDER BY event_type, day_num
+    """,
+)
+def events_value_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event `value` per (event_type,
+    day): each observation is held until the next same-type event that
+    day, and the average weights by holding time — TWAP, the estimator
+    that is correct on IRREGULARLY-SAMPLED series where the naive mean
+    over-counts bursts (a price/metric sampled 100x in one busy minute
+    should not dominate the day). simple_avg rides along to show the
+    bias the weighting removes.
+
+    Scale shape: one (event_type, day) window computes holding gaps
+    map-side after its exchange, and the rollup groups by the SAME
+    keys — AQE reuses the window's hash partitioning, so the corpus
+    crosses the wire once. Day-final observations (no successor that
+    day) drop out, bounding state to the day.
+
+    Determinism: gaps are exact integer µs with (ts, event_id) tie
+    order pinned; value·gap is one IEEE product per row,
+    decimal-accumulated (rule 1); the TWAP division is a single
+    correctly-rounded op over identical operands."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        "value",
+        "ts_us",
+        F.expr(f"ts_us div {US_PER_DAY}").alias("day_num"),
+    )
+    w = W.partitionBy("event_type", "day_num").orderBy("ts_us", "event_id")
+    seg = ev.select(
+        "event_type",
+        "day_num",
+        "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    return (
+        seg.groupBy("event_type", "day_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("gap_us").cast("long").alias("covered_us"),
+            F.round(
+                dsum(F.col("value") * F.col("gap_us"), 6)
+                / F.sum("gap_us").cast("long"),
+                9,
+            ).alias("twap"),
+            F.round(
+                (
+                    F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                    / F.count("value")
+                ),
+                9,
+            ).alias("simple_avg"),
+        )
+        .orderBy("event_type", "day_num")
+    )
+
+
+@query(
+    "event_attribution_linear",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, value,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+                   OVER w, 0) AS BIGINT) AS n_view,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER w, 0) AS BIGINT) AS n_click
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING)
+    ),
+    p AS (
+        SELECT value, n_view, n_click, n_view + n_click AS n_touch
+        FROM marked WHERE event_type = 'purchase'
+    ),
+    credits AS (
+        SELECT 'view' AS channel, value * n_view / n_touch AS credit,
+               n_view AS n_t FROM p WHERE n_view > 0
+        UNION ALL
+        SELECT 'click', value * n_click / n_touch, n_click
+        FROM p WHERE n_click > 0
+        UNION ALL
+        SELECT 'none', value, 0 FROM p WHERE n_touch = 0
+    )
+    SELECT channel,
+           COUNT(*)::BIGINT AS n_purchases,
+           {sql_dsum('credit', 6)} AS credited_revenue,
+           CAST(SUM(n_t) AS BIGINT) AS total_touches
+    FROM credits GROUP BY channel ORDER BY channel
+    """,
+)
+def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase splits its value
+    across ALL view/click touches by the same user in the 24 h
+    lookback, proportional to touch counts — the fairness-across-the-
+    journey model that complements `event_attribution_last_touch`
+    (which hands everything to the final touch). Purchases with no
+    in-window touch stay in the 'none' bucket at full value, so the
+    two models reconcile to the same total revenue.
+
+    Scale shape: touch counts come from one VALUE-RANGE window frame
+    over the per-user exchange (the same partitioning the funnel and
+    last-touch reuse) — no self-join against the touch log, so the
+    plan never materializes purchase×touch pairs; per-purchase output
+    is ≤2 constant-width rows and the rollup key has 3 values.
+
+    Determinism: range frames are value-based, so equal-timestamp tie
+    ORDER cannot change the counts (ends at 1 PRECEDING excludes the
+    purchase instant on both engines); each credit is the pinned IEEE
+    tree (value·n)/n_touch over exact integers; credits
+    decimal-accumulate (rule 1)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts_us"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ATTR_WINDOW_US, -1)
+    )
+    n_view = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "view", 1)).over(w), F.lit(0)
+    ).cast("long")
+    n_click = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "click", 1)).over(w), F.lit(0)
+    ).cast("long")
+    p = (
+        ev.select("event_type", "value", n_view.alias("n_view"), n_click.alias("n_click"))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("n_touch", F.col("n_view") + F.col("n_click"))
+    )
+    entries = F.array(
+        F.when(
+            F.col("n_view") > 0,
+            F.struct(
+                F.lit("view").alias("channel"),
+                (F.col("value") * F.col("n_view") / F.col("n_touch")).alias(
+                    "credit"
+                ),
+                F.col("n_view").alias("n_t"),
+            ),
+        ),
+        F.when(
+            F.col("n_click") > 0,
+            F.struct(
+                F.lit("click").alias("channel"),
+                (F.col("value") * F.col("n_click") / F.col("n_touch")).alias(
+                    "credit"
+                ),
+                F.col("n_click").alias("n_t"),
+            ),
+        ),
+        F.when(
+            F.col("n_touch") == 0,
+            F.struct(
+                F.lit("none").alias("channel"),
+                F.col("value").alias("credit"),
+                F.lit(0).cast("long").alias("n_t"),
+            ),
+        ),
+    )
+    credits = p.select(
+        F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("cr")
+    ).select("cr.*")
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("credit", 6, alias="credited_revenue"),
+            F.sum("n_t").cast("long").alias("total_touches"),
+        )
+        .orderBy("channel")
+    )

@@ -235,3 +235,94 @@ def events_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+import math
+
+# Benford first-digit expectations, materialized as PYTHON float
+# literals formatted into BOTH plans — the two engines never call
+# their own log10, so the constants are bit-identical by construction.
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+BENFORD_MAD_FLAG = 0.015  # Nigrini's nonconformity bound for MAD-style per-digit deviation
+
+_BENFORD_SQL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN digit = {d} THEN {p!r}" for d, p in BENFORD_P.items())
+    + " END"
+)
+
+
+@query(
+    "dq_benford_order_prices",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    dig AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    ),
+    agg AS (
+        SELECT digit, COUNT(*)::BIGINT AS n_orders FROM dig GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM agg)
+    SELECT agg.digit, agg.n_orders,
+           ROUND(agg.n_orders * 1.0 / tot.n, 9) AS share,
+           ROUND({_BENFORD_SQL_CASE}, 9) AS benford_p,
+           ROUND(ABS(agg.n_orders * 1.0 / tot.n - {_BENFORD_SQL_CASE}), 9)
+               AS abs_dev,
+           ABS(agg.n_orders * 1.0 / tot.n - {_BENFORD_SQL_CASE})
+               > {BENFORD_MAD_FLAG!r} AS flagged
+    FROM agg CROSS JOIN tot
+    ORDER BY agg.digit
+    """,
+)
+def dq_benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fabricated-data screen (Nigrini 2012): naturally-occurring
+    multiplicative amounts follow P(d) = log10(1 + 1/d), and a digit
+    whose observed share deviates past the MAD conformity bound is a
+    red flag for synthetic or truncated values. (TPC-H totals are
+    sums of uniform prices, so several digits SHOULD flag — the screen
+    correctly detects that generated data is not Benford.)
+
+    Scale shape: the first digit is a map-side expression, the tally
+    is a 9-key aggregation with map-side partials, and the total
+    broadcasts back onto 9 rows. One full-column scan, no wide state.
+
+    Determinism: the digit comes from FLOOR(price*100) — one
+    correctly-rounded product and floor, bit-identical on both engines
+    — rendered via BIGINT→string (never double formatting); the
+    Benford expectations are Python float literals embedded in both
+    plans, so no engine libm is consulted; shares are single divisions
+    of exact integers."""
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+        )
+        .filter(F.col("c") > 0)
+    )
+    agg = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = agg.agg(F.sum("n_orders").cast("long").alias("n"))
+    p_case = F.lit(None).cast("double")
+    for d, p in BENFORD_P.items():
+        p_case = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_case)
+    share = F.col("n_orders") * F.lit(1.0) / F.col("n")
+    dev = F.abs(share - p_case)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(share, 9).alias("share"),
+            F.round(p_case, 9).alias("benford_p"),
+            F.round(dev, 9).alias("abs_dev"),
+            (dev > BENFORD_MAD_FLAG).alias("flagged"),
+        )
+        .orderBy("digit")
+    )

@@ -107,3 +107,4 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.*")
         .orderBy("column_name")
     )
+

@@ -24,6 +24,7 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
     query,
     sql_dsum,
 )
+from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 from gresearch_parquet_benchmarking_spark.sources.bucketing import (
     ensure_bucketed_pair,
 )
@@ -108,4 +109,97 @@ def layout_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", alias="total_price"),
         )
         .orderBy(PART_COL, "o_orderpriority")
+    )
+
+
+@query(
+    "skew_key_histogram",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_partkey, COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    bucketed AS (
+        SELECT CAST(LENGTH(bin(cnt)) - 1 AS BIGINT) AS bucket_log2, cnt
+        FROM per_key
+    ),
+    agg AS (
+        SELECT bucket_log2,
+               COUNT(*)::BIGINT AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS rows_in_bucket,
+               MAX(cnt) AS max_key_rows
+        FROM bucketed GROUP BY bucket_log2
+    ),
+    tot AS (
+        SELECT CAST(SUM(rows_in_bucket) AS BIGINT) AS n,
+               CAST(SUM(n_keys) AS BIGINT) AS k
+        FROM agg
+    )
+    SELECT agg.bucket_log2, agg.n_keys, agg.rows_in_bucket,
+           agg.max_key_rows,
+           ROUND(agg.rows_in_bucket * 1.0 / tot.n, 9) AS rows_share,
+           ROUND(agg.rows_in_bucket * 1.0 / agg.n_keys, 6) AS avg_key_rows,
+           ROUND(tot.n * 1.0 / tot.k, 6) AS overall_avg_key_rows
+    FROM agg CROSS JOIN tot
+    ORDER BY agg.bucket_log2
+    """,
+)
+def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of lineitem.l_partkey: per-key row counts
+    folded into a log2 histogram (bucket b holds keys with 2^b ≤ rows
+    < 2^(b+1)) plus each bucket's share of all rows — the diagnostic
+    you run BEFORE choosing a shuffle strategy. A heavy tail here is
+    the empirical trigger for the adaptive salting this repo applies
+    (analytics._overlap_pairs) and for AQE skew-join thresholds; a
+    flat profile means salting would only pay replication tax
+    (round-5 lesson).
+
+    Scale shape: one map-side-combined groupBy on the key, then a
+    log2 bucket rollup whose cardinality is ≤64 regardless of data
+    volume; the totals row broadcasts back onto it. No windows, no
+    per-key sort — this is strictly cheaper than any join it informs.
+
+    Determinism: counts are exact integers; floor(log2) is computed as
+    the integer BIT LENGTH minus one (length(bin(cnt))−1) — never a
+    libm log whose ratio form can land a ULP below an integer at exact
+    powers of two; shares are single divisions of exact integers."""
+    per_key = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = (
+        per_key.select(
+            (F.length(F.bin("cnt")) - 1).cast("long").alias("bucket_log2"),
+            "cnt",
+        )
+        .groupBy("bucket_log2")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").cast("long").alias("rows_in_bucket"),
+            F.max("cnt").alias("max_key_rows"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("rows_in_bucket").cast("long").alias("n"),
+        F.sum("n_keys").cast("long").alias("k"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_log2",
+            "n_keys",
+            "rows_in_bucket",
+            "max_key_rows",
+            F.round(F.col("rows_in_bucket") * F.lit(1.0) / F.col("n"), 9).alias(
+                "rows_share"
+            ),
+            F.round(
+                F.col("rows_in_bucket") * F.lit(1.0) / F.col("n_keys"), 6
+            ).alias("avg_key_rows"),
+            F.round(F.col("n") * F.lit(1.0) / F.col("k"), 6).alias(
+                "overall_avg_key_rows"
+            ),
+        )
+        .orderBy("bucket_log2")
     )
