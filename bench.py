@@ -164,6 +164,10 @@ FULL_ONLY_QUERIES = [
     "dq_benford_order_prices",
     "skew_key_histogram",
     "event_attribution_linear",
+    "embedding_int8_quant_error",
+    "graph_link_prediction_ra",
+    "sketch_quantile_histogram",
+    "dedup_multimodal_phash",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

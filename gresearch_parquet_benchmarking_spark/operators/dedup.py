@@ -821,3 +821,131 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal perceptual-hash dedup (binary payload path)
+# ---------------------------------------------------------------------------
+
+PHASH_PREFIX_CHARS = 128
+
+
+def _phash_batch(batch):
+    """Deterministic perceptual-hash STAND-IN over the binary payload
+    (multimodal._fake_decode_batch contract: the container has no
+    image codecs, so the 'decode' is payload-derived and exactly
+    SQL-twinned; a real deployment swaps THIS function for
+    decode→downscale→DCT-sign bits and keeps the plumbing). The fake
+    normalizes the payload's content — casefold, collapse whitespace,
+    truncate — so near-identical assets (case/spacing variants)
+    collide, which is the perceptual property the dedup relies on."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    s = (
+        batch["payload"]
+        .map(lambda b: b.decode("utf-8"))
+        .str.lower()
+        .map(lambda t: re.sub(r"\s+", " ", t).strip()[:PHASH_PREFIX_CHARS])
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "kind": batch["kind"],
+            "phash": s.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()[:16]),
+        }
+    )
+
+
+@query(
+    "dedup_multimodal_phash",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {INJECT_OFFSET}, replace(lower(text), ' ', '  ')
+        FROM documents WHERE doc_id % {INJECT_EVERY} = 0
+    ),
+    sig AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                                            WHEN 1 THEN 'audio/wav'
+                                            ELSE 'video/mp4' END AS kind,
+               substr(md5(substr(trim(regexp_replace(lower(text),
+                          '\\s+', ' ', 'g')), 1, {PHASH_PREFIX_CHARS})),
+                      1, 16) AS phash
+        FROM corpus
+    ),
+    groups AS (
+        SELECT kind, phash, COUNT(*)::BIGINT AS cnt
+        FROM sig GROUP BY kind, phash
+    )
+    SELECT kind,
+           CAST(SUM(cnt) AS BIGINT) AS n_assets,
+           COUNT(*)::BIGINT AS n_distinct_phash,
+           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_assets,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           MAX(cnt) AS max_group_size
+    FROM groups GROUP BY kind ORDER BY kind
+    """,
+)
+def dedup_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over MULTIMODAL binary assets: payloads
+    (documents modeled as opaque media blobs, multimodal.attach_binary_
+    payload) stream through an Arrow-batched mapInPandas kernel that
+    computes a content signature, and duplicate groups roll up per
+    modality. Planted case/whitespace variants (every {INJECT_EVERY}th
+    asset, re-encoded with doubled spaces and lowercased) are INVISIBLE
+    to the exact byte hash `dedup_exact` uses but collide under the
+    perceptual normalization — the near-dup class pHash exists for.
+
+    Scale shape: payload bytes cross the Python boundary as Arrow
+    batches and are reduced to a 16-hex signature IN the kernel — the
+    shuffle key is constant-width, text/bytes never shuffle (the
+    dedup-family invariant); group and modality rollups are map-side
+    combinable counts. A real image corpus swaps the kernel for
+    decode→DCT and keeps every plan edge identical.
+
+    Determinism: the kernel's normalization (casefold, \\s+ collapse,
+    {PHASH_PREFIX_CHARS}-char truncate, md5[:16]) is mirrored
+    operator-for-operator in the DuckDB twin; outputs are exact
+    integer counts."""
+    from collections.abc import Iterator
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    planted = doc.filter(F.col("doc_id") % INJECT_EVERY == 0).select(
+        (F.col("doc_id") + INJECT_OFFSET).alias("doc_id"),
+        F.lower(F.regexp_replace("text", " ", "  ")).alias("text"),
+        "lang",
+        "source",
+    )
+    from gresearch_parquet_benchmarking_spark.operators.multimodal import (
+        attach_binary_payload,
+    )
+
+    assets = attach_binary_payload(doc.unionByName(planted))
+    flat = assets.select("doc_id", F.col("meta.kind").alias("kind"), "payload")
+
+    def run(batches: Iterator) -> Iterator:
+        for batch in batches:
+            yield _phash_batch(batch)
+
+    sig = flat.mapInPandas(run, schema="doc_id long, kind string, phash string")
+    groups = sig.groupBy("kind", "phash").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        groups.groupBy("kind")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_assets"),
+            F.count(F.lit(1)).alias("n_distinct_phash"),
+            (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("n_dup_assets"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.max("cnt").alias("max_group_size"),
+        )
+        .orderBy("kind")
+    )

@@ -852,3 +852,127 @@ def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.orderBy("brand")
+
+
+RA_HUB_CAP = 64   # ignore common neighbors with degree above this
+RA_TOP_K = 50
+
+
+@query(
+    "graph_link_prediction_ra",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+        SELECT u AS node, v AS nbr FROM pairs
+        UNION ALL
+        SELECT v AS node, u AS nbr FROM pairs
+    ),
+    deg AS (
+        SELECT node, COUNT(*)::BIGINT AS degree FROM adj GROUP BY node
+    ),
+    hub_ok AS (
+        SELECT adj.node, adj.nbr FROM adj
+        JOIN deg ON adj.node = deg.node
+        WHERE deg.degree <= {RA_HUB_CAP}
+    ),
+    wedge AS (
+        SELECT a.nbr AS u, b.nbr AS v, a.node AS w
+        FROM hub_ok a JOIN hub_ok b
+          ON a.node = b.node AND a.nbr < b.nbr
+    ),
+    scored AS (
+        SELECT wedge.u, wedge.v,
+               COUNT(*)::BIGINT AS n_common,
+               CAST(SUM(CAST(1.0 / deg.degree AS DECIMAL(27,14)))
+                    AS DOUBLE) AS ra_score
+        FROM wedge JOIN deg ON wedge.w = deg.node
+        GROUP BY wedge.u, wedge.v
+    ),
+    cand AS (
+        SELECT s.* FROM scored s
+        ANTI JOIN pairs p ON s.u = p.u AND s.v = p.v
+    ),
+    ranked AS (
+        SELECT u, v, n_common, ra_score,
+               row_number() OVER (ORDER BY ra_score DESC, u, v) AS rnk
+        FROM cand
+    )
+    SELECT u, v, n_common, ROUND(ra_score, 9) AS ra_score, rnk
+    FROM ranked WHERE rnk <= {RA_TOP_K} ORDER BY rnk
+    """,
+)
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph by the
+    RESOURCE-ALLOCATION index (Zhou, Lü & Zhang 2009): for a
+    non-adjacent pair (u,v), score = Σ_{{w ∈ Γ(u)∩Γ(v)}} 1/deg(w) —
+    common neighbors weighted inversely by how promiscuous they are.
+    Top-K missing edges = "parts that should co-occur in baskets but
+    don't yet", the assortment-recommendation primitive; RA is the
+    common-neighbor family member that best survives hubs (a w shared
+    with everything carries ~zero signal and ~zero weight here).
+
+    Scale shape: wedges are enumerated at the CENTER node after
+    filtering centers to degree ≤ {RA_HUB_CAP} — the standard hub cap
+    that bounds per-center fanout to O(cap²) and total wedges to
+    n·cap², independent of how skewed the degree distribution is
+    (hubs contribute ≤ 1/cap each, so dropping them changes scores by
+    a bounded, documented amount — the exact-vs-capped trade every
+    production link predictor makes). Candidate scoring is one
+    aggregation on (u,v); existing edges leave via an anti join; the
+    top-K window runs over the already-aggregated candidate table.
+
+    Determinism: degrees are exact integers; each 1/deg is one
+    correctly-rounded division; the score decimal-accumulates
+    (rule 1); the top-K order has the full (score, u, v) tiebreaker
+    (rule 8)."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    pairs = track_persist(
+        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    adj = track_persist(
+        pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+            pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    hub_ok = adj.join(deg.filter(F.col("degree") <= RA_HUB_CAP), "node")
+    a_side = hub_ok.select("node", F.col("nbr").alias("na"))
+    b_side = hub_ok.select(
+        F.col("node").alias("node_b"), F.col("nbr").alias("nb")
+    )
+    wedge = a_side.join(
+        b_side,
+        (F.col("node") == F.col("node_b")) & (F.col("na") < F.col("nb")),
+    ).select(F.col("na").alias("u"), F.col("nb").alias("v"), F.col("node").alias("w"))
+    scored = (
+        wedge.join(deg.select(F.col("node").alias("w"), "degree"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                (F.lit(1.0) / F.col("degree")).cast("decimal(27,14)")
+            )
+            .cast("double")
+            .alias("ra_score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    cand = scored.join(pairs, ["u", "v"], "left_anti")
+    wr = W.orderBy(F.desc("ra_score"), F.asc("u"), F.asc("v"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= RA_TOP_K)
+        .select("u", "v", "n_common", F.round("ra_score", 9).alias("ra_score"), "rnk")
+        .orderBy("rnk")
+    )

@@ -2640,3 +2640,120 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+INT8_LEVELS = 255  # 8-bit scalar quantization levels (0..255)
+
+
+@query(
+    "embedding_int8_quant_error",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+        FROM vecs
+    ),
+    st AS (
+        SELECT i, MIN(x) AS mn, (MAX(x) - MIN(x)) / {INT8_LEVELS} AS sc
+        FROM flat GROUP BY i
+    ),
+    qd AS (
+        SELECT f.vec_id, f.i, f.x,
+               CASE WHEN st.sc > 0
+                    THEN st.mn + LEAST(GREATEST(
+                             FLOOR((f.x - st.mn) / st.sc + 0.5), 0),
+                             {INT8_LEVELS}) * st.sc
+                    ELSE st.mn END AS deq
+        FROM flat f JOIN st ON f.i = st.i
+    ),
+    dv AS (
+        SELECT vec_id,
+               list(deq - x ORDER BY i) AS diff,
+               list(deq ORDER BY i) AS deq
+        FROM qd GROUP BY vec_id
+    ),
+    per AS (
+        SELECT v.vec_id,
+               list_dot_product(d.diff, d.diff) / len(v.v) AS mse,
+               list_max(list_transform(d.diff, e -> ABS(e))) AS max_abs_err,
+               list_dot_product(v.v, d.deq)
+                 / (sqrt(list_dot_product(v.v, v.v))
+                    * sqrt(list_dot_product(d.deq, d.deq))) AS cos
+        FROM vecs v JOIN dv d USING (vec_id)
+    )
+    SELECT COUNT(*)::BIGINT AS n_vecs,
+           ROUND(CAST(SUM(CAST(mse AS DECIMAL(27,14))) AS DOUBLE)
+                 / COUNT(*), 10) AS mean_mse,
+           ROUND(MAX(max_abs_err), 10) AS worst_abs_err,
+           ROUND(CAST(SUM(CAST(cos AS DECIMAL(27,14))) AS DOUBLE)
+                 / COUNT(*), 10) AS mean_cos,
+           ROUND(MIN(cos), 10) AS worst_cos
+    FROM per
+    """,
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar INT8 quantization fidelity: per-dimension min/max
+    calibration (the asymmetric-affine scheme FAISS SQ8 / every
+    production vector store ships), quantize → dequantize, and report
+    reconstruction MSE, worst per-element error, and cosine retention
+    — the memory-4x-compression vs recall trade measured, completing
+    the quantization family next to PQ (`ann_pq_codebook`) and
+    truncation (`embedding_matryoshka_recall`).
+
+    Scale shape: calibration is a d-key aggregation with map-side
+    partials (only min/max accumulators cross the wire); the d-row
+    stats table collapses to one sorted array and BROADCASTS (the
+    _centroid_array/whitening trick), so quantization and error
+    metrics are pure in-row map-side arithmetic — the corpus is never
+    shuffled, and the rollup returns one row.
+
+    Determinism: min/max of doubles are exact; scale is one division;
+    floor(t + 0.5) and the clamp are bit-identical on identical
+    inputs; per-vector folds run in array order on both engines
+    (functions.vector precision contract); corpus means
+    decimal-accumulate (rule 1)."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    flat = vec.select(F.posexplode("v").alias("i", "x"))
+    st = flat.groupBy("i").agg(
+        F.min("x").alias("mn"),
+        ((F.max("x") - F.min("x")) / INT8_LEVELS).alias("sc"),
+    )
+    stats_row = st.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mn", "sc"))).alias("stats")
+    )
+    def _deq(x, i):
+        mn = F.get(F.col("stats"), i)["mn"]
+        sc = F.get(F.col("stats"), i)["sc"]
+        q = F.least(
+            F.greatest(F.floor((x - mn) / sc + F.lit(0.5)), F.lit(0)),
+            F.lit(INT8_LEVELS),
+        )
+        return F.when(sc > 0, mn + q * sc).otherwise(mn)
+
+    deq = F.transform(F.col("v"), _deq)
+    diff = F.zip_with(deq, F.col("v"), lambda a, b: a - b)
+    per = vec.crossJoin(F.broadcast(stats_row)).select(
+        (dot_product(diff, diff) / F.size("v")).alias("mse"),
+        F.array_max(F.transform(diff, lambda e: F.abs(e))).alias("max_abs_err"),
+        (
+            dot_product(F.col("v"), deq) / (l2_norm(F.col("v")) * l2_norm(deq))
+        ).alias("cos"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("mse").cast("decimal(27,14)")).cast("double")
+            / F.count(F.lit(1)),
+            10,
+        ).alias("mean_mse"),
+        F.round(F.max("max_abs_err"), 10).alias("worst_abs_err"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(27,14)")).cast("double")
+            / F.count(F.lit(1)),
+            10,
+        ).alias("mean_cos"),
+        F.round(F.min("cos"), 10).alias("worst_cos"),
+    )

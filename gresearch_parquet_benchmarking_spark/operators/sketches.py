@@ -699,3 +699,139 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_inter",
     )
+
+
+HIST_BINS = 256
+HIST_QS = (50, 90, 99)
+
+
+@query(
+    "sketch_quantile_histogram",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    pars AS (
+        SELECT MIN(c) AS mn, COUNT(*)::BIGINT AS n,
+               ((MAX(c) - MIN(c)) // {HIST_BINS}) + 1 AS w
+        FROM cents
+    ),
+    binned AS (SELECT c, (c - p.mn) // p.w AS bin FROM cents, pars p),
+    hist AS (SELECT bin, COUNT(*)::BIGINT AS cnt FROM binned GROUP BY bin),
+    cum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cm
+        FROM hist
+    ),
+    qs AS (SELECT unnest([{', '.join(str(q) for q in HIST_QS)}]) AS q_pct),
+    tgt AS (
+        SELECT q.q_pct, (p.n * q.q_pct + 99) // 100 AS k, p.n, p.mn, p.w
+        FROM qs q, pars p
+    ),
+    sel AS (
+        SELECT t.q_pct, t.k, t.n, t.mn, t.w, MIN(c.bin) AS b
+        FROM tgt t JOIN cum c ON c.cm >= t.k
+        GROUP BY t.q_pct, t.k, t.n, t.mn, t.w
+    ),
+    sel2 AS (
+        SELECT s.q_pct, s.k, s.n, s.mn, s.w, s.b,
+               s.k - (c.cm - c.cnt) AS kprime
+        FROM sel s JOIN cum c ON s.b = c.bin
+    ),
+    ranked AS (
+        SELECT s.q_pct, s.n, s.mn, s.w, s.b, s.kprime, b2.c,
+               row_number() OVER (PARTITION BY s.q_pct ORDER BY b2.c) AS rn
+        FROM sel2 s JOIN binned b2 ON b2.bin = s.b
+    )
+    SELECT CAST(q_pct AS BIGINT) AS q_pct, n AS n_rows,
+           c AS exact_cents,
+           mn + b * w + w // 2 AS est_cents,
+           w AS bin_width_cents,
+           ABS(mn + b * w + w // 2 - c) <= w AS within_bound
+    FROM ranked WHERE rn = kprime ORDER BY q_pct
+    """,
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE equi-width histogram quantile sketch over
+    lineitem.l_extendedprice, PLUS the exact order statistics it
+    approximates — computed distributed, without ever globally sorting
+    the data. The sketch is {HIST_BINS} integer bin counters (merge =
+    counter-wise ADD, the property that lets 1000 executors each build
+    one and a reduce combine them at 100 TB); its quantile estimate is
+    the midpoint of the bin holding the target rank, so the error is
+    bounded by one bin width BY CONSTRUCTION — and the query proves it,
+    emitting estimate, exact, and the bound check side by side.
+
+    The exact quantile uses the sketch as a PARTITIONER (two-pass
+    distributed order statistic): the cumulative histogram (a ≤256-row
+    metadata table) locates the bin holding rank k and the residual
+    rank k' within it; a per-bin window then ranks ONLY the rows of
+    the ≤3 target bins — ~n/{HIST_BINS} rows each — never the corpus.
+    That is the textbook out-of-core selection algorithm, and why this
+    query needs no `percentile` built-in.
+
+    Determinism: prices enter as FLOOR(price·100) BIGINT cents; every
+    quantity here — bins, counts, ranks, midpoints, bounds — is exact
+    integer arithmetic, so the twin matches bit-for-bit with no float
+    anywhere."""
+    cents = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    pars = cents.agg(
+        F.min("c").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.expr(f"(max(c) - min(c)) div {HIST_BINS}") + F.lit(1)
+        ).alias("w"),
+    )
+    binned = track_persist(
+        cents.crossJoin(F.broadcast(pars)).select(
+            "c", F.expr("(c - mn) div w").alias("bin")
+        )
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cm"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q_pct")
+    )
+    tgt = qs.crossJoin(F.broadcast(pars)).select(
+        "q_pct",
+        F.expr("(n * q_pct + 99) div 100").alias("k"),
+        "n",
+        "mn",
+        "w",
+    )
+    sel = (
+        tgt.join(F.broadcast(cum), F.col("cm") >= F.col("k"))
+        .groupBy("q_pct", "k", "n", "mn", "w")
+        .agg(F.min("bin").alias("b"))
+    )
+    sel2 = sel.join(
+        F.broadcast(cum.select(F.col("bin").alias("b"), "cnt", "cm")), "b"
+    ).select(
+        "q_pct", "k", "n", "mn", "w", "b",
+        (F.col("k") - (F.col("cm") - F.col("cnt"))).alias("kprime"),
+    )
+    ranked = binned.join(F.broadcast(sel2), binned.bin == sel2.b)
+    wq = W.partitionBy("q_pct").orderBy("c")
+    est = F.col("mn") + F.col("b") * F.col("w") + F.expr("w div 2")
+    return (
+        ranked.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("kprime"))
+        .select(
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.col("n").alias("n_rows"),
+            F.col("c").alias("exact_cents"),
+            est.alias("est_cents"),
+            F.col("w").alias("bin_width_cents"),
+            (F.abs(est - F.col("c")) <= F.col("w")).alias("within_bound"),
+        )
+        .orderBy("q_pct")
+    )

@@ -29,6 +29,7 @@ PYTHON_ALLOWED = {
     "multimodal_decode_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "dedup_multimodal_phash",
 }
 
 _PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow")
