@@ -1525,13 +1525,22 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("s"), F.col("day_num") * US_PER_DAY).alias("seg_s"),
         F.least(F.col("e"), (F.col("day_num") + 1) * US_PER_DAY).alias("seg_e"),
     )
+    # one explode per segment (not a self-union, which would re-run the
+    # whole session pipeline once per branch — measured two full events
+    # scans in the AQE plan before this shape)
     b = seg.select(
-        "day_num", F.col("seg_s").alias("ts_us"), F.lit(1).alias("delta")
-    ).unionByName(
-        seg.select(
-            "day_num", F.col("seg_e").alias("ts_us"), F.lit(-1).alias("delta")
-        )
-    ).withColumn(
+        "day_num",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("seg_s").alias("ts_us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("seg_e").alias("ts_us"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("bd"),
+    ).select("day_num", "bd.ts_us", "bd.delta").withColumn(
         # hour RELATIVE to the row's day (0..24): a segment end falling
         # exactly on next-midnight must sort AFTER hour 23 of its own
         # day (hr=24), not wrap to hr=0 via hour-of-timestamp.

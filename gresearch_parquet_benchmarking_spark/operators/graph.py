@@ -944,8 +944,15 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-    hub_ok = adj.join(deg.filter(F.col("degree") <= RA_HUB_CAP), "node")
+    # deg feeds the hub filter AND the wedge-center scoring join;
+    # hub_ok feeds both sides of the wedge self-join — persist both so
+    # neither subtree re-runs per consumer.
+    deg = track_persist(adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    hub_ok = track_persist(
+        adj.join(deg.filter(F.col("degree") <= RA_HUB_CAP), "node").select(
+            "node", "nbr"
+        )
+    )
     a_side = hub_ok.select("node", F.col("nbr").alias("na"))
     b_side = hub_ok.select(
         F.col("node").alias("node_b"), F.col("nbr").alias("nb")

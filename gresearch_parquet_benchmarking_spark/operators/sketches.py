@@ -778,12 +778,18 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = load_table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
-    pars = cents.agg(
-        F.min("c").alias("mn"),
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.expr(f"(max(c) - min(c)) div {HIST_BINS}") + F.lit(1)
-        ).alias("w"),
+    # persisted: the 1-row stats frame feeds BOTH the binning crossJoin
+    # and the rank-target build — without it each consumer re-runs the
+    # min/max scan of lineitem (two extra full column scans in the AQE
+    # plan before this boundary).
+    pars = track_persist(
+        cents.agg(
+            F.min("c").alias("mn"),
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.expr(f"(max(c) - min(c)) div {HIST_BINS}") + F.lit(1)
+            ).alias("w"),
+        )
     )
     binned = track_persist(
         cents.crossJoin(F.broadcast(pars)).select(

@@ -1,0 +1,98 @@
+"""Semantic property pins for the final round-6 operator batch.
+
+The oracle gate proves Spark ≡ DuckDB; these tests pin the properties
+the operators CLAIM about themselves, which an oracle that merely
+agrees with an identically-wrong twin could not catch:
+
+* the histogram sketch's one-bin error bound actually holds,
+* the perceptual hash actually CATCHES the planted case/whitespace
+  variants (both engines finding zero dups would hash-match too),
+* RA link prediction emits a correctly-ordered non-edge ranking,
+* the concurrency sweep's boundaries balance (+1/−1 pairs),
+* int8 quantization at 255 levels retains cosine ≈ 1,
+* Benford shares form a probability distribution.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    all_queries,
+    release_persists,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_persists()
+
+
+def _rows(spark, name):
+    return all_queries()[name](spark, SF_SMOKE).collect()
+
+
+def test_quantile_histogram_bound_holds(spark):
+    rows = _rows(spark, "sketch_quantile_histogram")
+    assert [r.q_pct for r in rows] == [50, 90, 99]
+    for r in rows:
+        # the one-bin-width guarantee the sketch is built on
+        assert r.within_bound, r
+        assert abs(r.est_cents - r.exact_cents) <= r.bin_width_cents
+        assert r.n_rows > 0
+
+
+def test_multimodal_phash_catches_planted_variants(spark):
+    rows = _rows(spark, "dedup_multimodal_phash")
+    assert {r.kind for r in rows} == {"image/png", "audio/wav", "video/mp4"}
+    # every 25th doc is planted as a case/whitespace variant — the
+    # perceptual hash must see duplicates the exact byte hash misses
+    assert sum(r.n_dup_groups for r in rows) > 0
+    for r in rows:
+        assert r.n_dup_assets == r.n_assets - r.n_distinct_phash
+
+
+def test_link_prediction_ranking_properties(spark):
+    rows = _rows(spark, "graph_link_prediction_ra")
+    assert rows, "candidate non-edges must exist"
+    scores = [r.ra_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.n_common >= 1 and r.u < r.v
+
+
+def test_peak_concurrency_boundaries_balance(spark):
+    rows = _rows(spark, "events_peak_concurrency")
+    assert rows
+    for r in rows:
+        assert r.peak_concurrency >= 1
+        # each day's sweep sees its segments' paired +1/−1 boundaries
+        assert r.n_boundaries == 2 * r.n_session_segments
+
+
+def test_int8_quant_retains_cosine(spark):
+    (row,) = _rows(spark, "embedding_int8_quant_error")
+    assert row.n_vecs > 0
+    assert row.mean_cos > 0.999  # 255 levels on 64-d: near-lossless
+    assert row.worst_cos > 0.99
+    assert row.mean_mse >= 0
+
+
+def test_benford_shares_form_distribution(spark):
+    rows = _rows(spark, "dq_benford_order_prices")
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    # benford_p values are rounded to 9 dp in the result, so their sum
+    # can miss 1.0 by up to 9 half-ulps of the rounding grid
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-8
+
+
+def test_twap_weights_positive(spark):
+    rows = _rows(spark, "events_value_twap_daily")
+    assert rows
+    for r in rows:
+        assert r.covered_us > 0 and r.n_obs > 0
