@@ -168,6 +168,8 @@ FULL_ONLY_QUERIES = [
     "graph_link_prediction_ra",
     "sketch_quantile_histogram",
     "dedup_multimodal_phash",
+    "events_stickiness_dau_wau",
+    "events_bot_screen",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

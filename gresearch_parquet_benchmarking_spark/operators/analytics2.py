@@ -55,6 +55,7 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
     dsum,
     query,
     sql_dsum,
+    track_persist,
 )
 from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
@@ -878,3 +879,318 @@ def supplier_otd_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+US_PER_DAY_A2 = 86_400_000_000
+WAU_WINDOW_DAYS = 7
+
+
+@query(
+    "events_stickiness_dau_wau",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(epoch_us(ts) AS BIGINT) // {US_PER_DAY_A2}
+                   AS day_num,
+               user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT day_num, COUNT(*)::BIGINT AS dau FROM du GROUP BY day_num
+    ),
+    contrib AS (
+        SELECT d.target_day, du.user_id
+        FROM du, LATERAL (
+            SELECT unnest(generate_series(du.day_num,
+                                          du.day_num + {WAU_WINDOW_DAYS - 1}))
+                   AS target_day
+        ) d
+    ),
+    wau AS (
+        SELECT target_day AS day_num,
+               COUNT(DISTINCT user_id)::BIGINT AS wau
+        FROM contrib GROUP BY target_day
+    )
+    SELECT dau.day_num, dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day_num = wau.day_num
+    ORDER BY dau.day_num
+    """,
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every consumer
+    product reports (what fraction of the week's actives showed up
+    today; 1/7 = weekly-only visitors, 1.0 = everyone daily). WAU for
+    day d counts distinct users active in [d−6, d], EXACTLY.
+
+    Scale shape: the event volume first collapses to DISTINCT
+    (day, user) pairs — the only pass over raw events; each pair then
+    fans out to the ≤{WAU_WINDOW_DAYS} window days it serves
+    (the same contribute-forward explode sketch_hll_rolling_users
+    uses), and the rolling distinct is a two-phase COUNT DISTINCT on
+    (day, user) keys. The 7× fanout rides on the deduplicated pair
+    table, not on events. At 100 TB the exact form costs one extra
+    dedup shuffle; the mergeable-sketch alternative with no fanout is
+    `sketch_hll_rolling_users` — this operator is its exact
+    calibration twin. Days are reported only where DAU exists (the
+    inner join drops lead-in ghost days the fanout creates).
+
+    Determinism: epoch-day integer division, exact integer counts, one
+    double division per row (rule: exact operands → identical
+    quotient)."""
+    from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+    du = track_persist(
+        load_events(spark, sf_dir)
+        .select(
+            F.expr(f"ts_us div {US_PER_DAY_A2}").alias("day_num"), "user_id"
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day_num"),
+                F.col("day_num") + F.lit(WAU_WINDOW_DAYS - 1),
+            )
+        ).alias("day_num"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day_num").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day_num")
+        .select(
+            "day_num",
+            "dau",
+            "wau",
+            F.round(F.col("dau") * F.lit(1.0) / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day_num")
+    )
+
+
+BOT_MIN_EVENTS = 10        # rules needing a gap distribution require this many
+BOT_VOLUME_X_MEAN = 3.0    # flag users above this multiple of mean events/user
+BOT_CV_METRONOMIC = 0.5    # coefficient of variation below this = too regular
+BOT_PLANT_USER = 10_000_001  # planted scripted user (see docstring)
+BOT_PLANT_N = 500            # planted events, exactly 60 s apart
+
+
+@query(
+    "events_bot_screen",
+    oracle=f"""
+    WITH real AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+        FROM events
+    ),
+    anchor AS (SELECT MIN(ts_us) AS mn FROM real),
+    plant AS (
+        SELECT {BOT_PLANT_USER} AS user_id, 'click' AS event_type,
+               anchor.mn + i * 60000000 AS ts_us,
+               9000000000 + i AS event_id
+        FROM anchor, LATERAL (
+            SELECT unnest(generate_series(0, {BOT_PLANT_N - 1})) AS i
+        ) g
+    ),
+    e AS (
+        SELECT * FROM real UNION ALL SELECT * FROM plant
+    ),
+    gaps AS (
+        SELECT user_id,
+               ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS gap_us
+        FROM e
+    ),
+    gstat AS (
+        SELECT user_id,
+               CAST(SUM(gap_us) AS BIGINT) AS gsum,
+               CAST(SUM(CAST(gap_us AS DECIMAL(19,0)) * gap_us) AS DOUBLE)
+                   AS gsum2,
+               COUNT(gap_us)::BIGINT AS ng
+        FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    ),
+    ustat AS (
+        SELECT e.user_id,
+               COUNT(*)::BIGINT AS n_events,
+               COUNT(DISTINCT e.event_type)::BIGINT AS n_types
+        FROM e GROUP BY e.user_id
+    ),
+    m AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) * 1.0 / COUNT(*) AS mean_ev,
+               COUNT(*)::BIGINT AS n_users
+        FROM ustat
+    ),
+    per_user AS (
+        SELECT u.user_id, u.n_events, u.n_types,
+               u.n_events > m.mean_ev * {BOT_VOLUME_X_MEAN!r} AS f_volume,
+               u.n_events >= {BOT_MIN_EVENTS} AND u.n_types = 1
+                   AS f_monotype,
+               CASE WHEN g.ng >= {BOT_MIN_EVENTS - 1}
+                         AND g.gsum > 0
+                    THEN sqrt(GREATEST(g.gsum2 / g.ng
+                              - (g.gsum * 1.0 / g.ng)
+                                * (g.gsum * 1.0 / g.ng), 0.0))
+                         / (g.gsum * 1.0 / g.ng) < {BOT_CV_METRONOMIC!r}
+                    ELSE FALSE END AS f_metronomic
+        FROM ustat u
+        LEFT JOIN gstat g ON u.user_id = g.user_id
+        CROSS JOIN m
+    ),
+    rules AS (
+        SELECT 'volume_gt_{BOT_VOLUME_X_MEAN}x_mean' AS rule,
+               CAST(SUM(CASE WHEN f_volume THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged
+        FROM per_user
+        UNION ALL
+        SELECT 'single_event_type', CAST(SUM(CASE WHEN f_monotype
+                   THEN 1 ELSE 0 END) AS BIGINT) FROM per_user
+        UNION ALL
+        SELECT 'metronomic_cv_lt_{BOT_CV_METRONOMIC}',
+               CAST(SUM(CASE WHEN f_metronomic THEN 1 ELSE 0 END) AS BIGINT)
+        FROM per_user
+        UNION ALL
+        SELECT 'any_rule', CAST(SUM(CASE WHEN f_volume OR f_monotype
+                   OR f_metronomic THEN 1 ELSE 0 END) AS BIGINT)
+        FROM per_user
+    )
+    SELECT rules.rule, rules.n_flagged, m.n_users,
+           ROUND(rules.n_flagged * 1.0 / m.n_users, 6) AS flagged_share
+    FROM rules CROSS JOIN m
+    ORDER BY rules.rule
+    """,
+)
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot/abuse screen — the rule battery a data pipeline
+    runs on its EVENT log the way `quality_gopher_rules` screens text:
+    per user, (a) volume above {BOT_VOLUME_X_MEAN}× the mean
+    events/user (data-derived threshold, no magic constants), (b) a
+    single event type across ≥{BOT_MIN_EVENTS} events (scripted
+    single-action loops), (c) metronomic timing — coefficient of
+    variation of inter-arrival gaps below {BOT_CV_METRONOMIC} (humans
+    are bursty; cron iisn't). One audit row per rule plus the union.
+
+    Scale shape: gap stats and per-user tallies each fold events in
+    ONE pass over the user partitioning the other per-user analytics
+    reuse (the gap window, then map-side-combinable sums); rules are
+    conditional sums over the per-user table; the 1-row corpus mean
+    broadcasts. Output is O(#rules) regardless of volume.
+
+    Determinism: gap sums are exact integers (each square computed as
+    DECIMAL(19,0)·BIGINT — µs² values overflow a raw BIGINT multiply
+    under ANSI on both engines); variance/CV is one
+    IEEE tree over exact-integer-derived doubles with a GREATEST(,0)
+    clamp for catastrophic cancellation; sqrt is correctly rounded on
+    both engines; thresholds enter as identical literals."""
+    from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+    real = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    anchor = real.agg(F.min("ts_us").alias("mn"))
+    plant = anchor.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOT_PLANT_N - 1))).alias("i0"),
+        "mn",
+    ).select(F.col("i0").cast("long").alias("i"), "mn").select(
+        F.lit(BOT_PLANT_USER).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("mn") + F.col("i") * F.lit(60_000_000)).alias("ts_us"),
+        (F.lit(9_000_000_000) + F.col("i")).alias("event_id"),
+    )
+    ev = real.unionByName(plant)
+    wg = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(wg)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gstat = gaps.groupBy("user_id").agg(
+        F.sum("gap_us").cast("long").alias("gsum"),
+        F.sum(F.col("gap_us").cast("decimal(19,0)") * F.col("gap_us"))
+        .cast("double")
+        .alias("gsum2"),
+        F.count("gap_us").alias("ng"),
+    )
+    ustat = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    m = ustat.agg(
+        (F.sum("n_events").cast("long") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "mean_ev"
+        ),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    gmean = F.col("gsum") * F.lit(1.0) / F.col("ng")
+    cv = F.sqrt(
+        F.greatest(
+            F.col("gsum2") / F.col("ng") - gmean * gmean, F.lit(0.0)
+        )
+    ) / gmean
+    per_user = (
+        ustat.join(gstat, "user_id", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (F.col("n_events") > F.col("mean_ev") * BOT_VOLUME_X_MEAN).alias(
+                "f_volume"
+            ),
+            (
+                (F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("n_types") == 1)
+            ).alias("f_monotype"),
+            F.when(
+                (F.col("ng") >= BOT_MIN_EVENTS - 1) & (F.col("gsum") > 0),
+                cv < BOT_CV_METRONOMIC,
+            )
+            .otherwise(F.lit(False))
+            .alias("f_metronomic"),
+            "n_users",
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("f_volume"), 1).otherwise(0)).cast("long").alias("v"),
+        F.sum(F.when(F.col("f_monotype"), 1).otherwise(0)).cast("long").alias("t"),
+        F.sum(F.when(F.col("f_metronomic"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                F.col("f_volume") | F.col("f_monotype") | F.col("f_metronomic"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.max("n_users").alias("n_users"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(f"volume_gt_{BOT_VOLUME_X_MEAN}x_mean").alias("rule"),
+                    F.col("v").alias("n_flagged"),
+                ),
+                F.struct(
+                    F.lit("single_event_type").alias("rule"),
+                    F.col("t").alias("n_flagged"),
+                ),
+                F.struct(
+                    F.lit(f"metronomic_cv_lt_{BOT_CV_METRONOMIC}").alias("rule"),
+                    F.col("c").alias("n_flagged"),
+                ),
+                F.struct(
+                    F.lit("any_rule").alias("rule"), F.col("a").alias("n_flagged")
+                ),
+            )
+        ).alias("r"),
+        "n_users",
+    ).select("r.rule", "r.n_flagged", "n_users")
+    return rows.select(
+        "rule",
+        "n_flagged",
+        "n_users",
+        F.round(F.col("n_flagged") * F.lit(1.0) / F.col("n_users"), 6).alias(
+            "flagged_share"
+        ),
+    ).orderBy("rule")

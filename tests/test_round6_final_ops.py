@@ -96,3 +96,27 @@ def test_twap_weights_positive(spark):
     assert rows
     for r in rows:
         assert r.covered_us > 0 and r.n_obs > 0
+
+
+def test_bot_screen_catches_planted_scripted_user(spark):
+    rows = {r.rule: r for r in _rows(spark, "events_bot_screen")}
+    assert set(rows) == {
+        "volume_gt_3.0x_mean",
+        "single_event_type",
+        "metronomic_cv_lt_0.5",
+        "any_rule",
+    }
+    # the planted metronomic single-type click loop must trip every rule
+    for r in rows.values():
+        assert r.n_flagged >= 1, r
+    assert rows["any_rule"].n_flagged <= sum(
+        rows[k].n_flagged for k in rows if k != "any_rule"
+    )
+
+
+def test_stickiness_bounded_by_window(spark):
+    rows = _rows(spark, "events_stickiness_dau_wau")
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau >= 1
+        assert 0 < r.stickiness <= 1.0
