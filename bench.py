@@ -170,6 +170,7 @@ FULL_ONLY_QUERIES = [
     "dedup_multimodal_phash",
     "events_stickiness_dau_wau",
     "events_bot_screen",
+    "ann_binary_hamming_recall",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -2757,3 +2757,149 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cos"),
         F.round(F.min("cos"), 10).alias("worst_cos"),
     )
+
+
+HAM_WORDS = 2     # 64 sign bits packed as 2 x 32-bit BIGINT words
+HAM_WORD_BITS = 32
+
+
+def _sql_pack_word(lo: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(0, {HAM_WORD_BITS}), "
+        f"i -> CASE WHEN v[{lo} + i + 1] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+@query(
+    "ann_binary_hamming_recall",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    packed AS (
+        SELECT vec_id,
+               {_sql_pack_word(0)} AS w1,
+               {_sql_pack_word(HAM_WORD_BITS)} AS w2
+        FROM vecs
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.w1, c.w1)) + bit_count(xor(q.w2, c.w2))
+                   AS hamming
+        FROM packed q JOIN packed c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ham_top AS (
+        SELECT query_id, neighbor_id, hamming,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    ),
+    ix AS (
+        SELECT query_id, neighbor_id, 1 AS hit
+        FROM ham_top WHERE rank <= {TOP_K}
+    ),
+    bf AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_SQL_COS} AS cos
+        FROM vecs a JOIN vecs b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    bf_top AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bf
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT bf_top.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(COALESCE(ix.hit, 0)) AS BIGINT) AS n_hits,
+           ROUND(SUM(COALESCE(ix.hit, 0)) * 1.0 / COUNT(*), 6) AS recall
+    FROM bf_top LEFT JOIN ix
+      ON bf_top.query_id = ix.query_id
+     AND bf_top.neighbor_id = ix.neighbor_id
+    GROUP BY bf_top.query_id ORDER BY bf_top.query_id
+    """,
+)
+def ann_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT binary embeddings: each vector collapses to its 64 sign
+    bits (two 32-bit BIGINT words), search is Hamming distance via
+    XOR + popcount, and the output is recall@{TOP_K} against the exact
+    cosine truth — the last rung of the quantization ladder this repo
+    measures (float32 → int8 → PQ → Matryoshka-truncate → 1 bit, a
+    32× memory cut whose quality THIS table prices). Sign-bit Hamming
+    approximates angular distance (Charikar 2002 — the same hyperplane
+    identity the LSH probe uses; here every dimension is a hyperplane).
+
+    Scale shape: packing is one in-row fold per vector — the corpus
+    collapses to (vec_id, 2 BIGINTs) BEFORE the query join, so the
+    distance pass streams 16-byte rows against a broadcast 10-row
+    query set and each pair costs two XOR+popcounts, not a 64-term dot
+    fold. Per-query top-k is the standard WindowGroupLimit shape; the
+    recall join runs on |queries|·k rows.
+
+    Determinism: sign bits, packed words, XOR, popcount, and ranks are
+    all exact integers; ties in Hamming break on neighbor_id (rule 8);
+    recall is one division of exact counts."""
+
+    def _word(lo: int):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(HAM_WORD_BITS - 1)),
+            F.lit(0).cast("long"),
+            # shiftleft()'s bit count must be a Python literal, so the
+            # in-lambda power-of-two is pow(2, i) — exact in double for
+            # i < 32, cast back to the exact BIGINT
+            lambda acc, i: acc
+            + F.when(
+                F.get(F.col("v"), i + F.lit(lo)) > 0,
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v")
+    packed = track_persist(
+        vec.select(
+            "vec_id",
+            _word(0).alias("w1"),
+            _word(HAM_WORD_BITS).alias("w2"),
+        )
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    scored = packed.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            + F.bit_count(F.col("qw2").bitwiseXOR(F.col("w2")))
+        ).alias("hamming"),
+    )
+    wh = W.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    ix = (
+        scored.withColumn("rank", F.row_number().over(wh))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        bf.join(ix, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            hits.cast("long").alias("n_hits"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

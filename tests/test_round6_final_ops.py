@@ -120,3 +120,11 @@ def test_stickiness_bounded_by_window(spark):
     for r in rows:
         assert r.wau >= r.dau >= 1
         assert 0 < r.stickiness <= 1.0
+
+
+def test_binary_hamming_recall_table_shape(spark):
+    rows = _rows(spark, "ann_binary_hamming_recall")
+    assert len(rows) == 10  # one per query vector
+    for r in rows:
+        assert r.n_true == 5 and 0 <= r.n_hits <= 5
+        assert 0.0 <= r.recall <= 1.0
