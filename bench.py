@@ -171,6 +171,7 @@ FULL_ONLY_QUERIES = [
     "events_stickiness_dau_wau",
     "events_bot_screen",
     "ann_binary_hamming_recall",
+    "events_ab_uplift_ztest",
 ]
 
 # Prefixes of io evidence rows that, like FULL_ONLY_QUERIES, are

@@ -1194,3 +1194,145 @@ def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged_share"
         ),
     ).orderBy("rule")
+
+
+AB_SALT = "'exp_checkout_v1:'"  # experiment salt: new experiment = new salt
+AB_Z_CRIT = 1.959963984540054   # two-sided 95% critical value (Python literal
+                                # embedded in both plans; no engine erf/quantile)
+
+
+@query(
+    "events_ab_uplift_ztest",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               {sql_md5_hash64(f"{AB_SALT} || CAST(user_id AS VARCHAR)")} % 2
+                   AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(27,6)) ELSE 0 END)
+                    AS DOUBLE) AS revenue
+        FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT arm,
+               COUNT(*)::BIGINT AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+            MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+            MAX(CASE WHEN arm = 0 THEN revenue END) AS rev0,
+            MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+            MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1,
+            MAX(CASE WHEN arm = 1 THEN revenue END) AS rev1
+        FROM arms
+    ),
+    den AS (
+        SELECT *,
+               sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                    * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS d
+        FROM wide
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(c0 * 1.0 / n0, 6) AS rate0,
+           ROUND(c1 * 1.0 / n1, 6) AS rate1,
+           ROUND(c1 * 1.0 / n1 - c0 * 1.0 / n0, 6) AS uplift,
+           ROUND(CASE WHEN d > 0
+                 THEN (c1 * 1.0 / n1 - c0 * 1.0 / n0) / d END, 6) AS z_stat,
+           COALESCE(ABS(CASE WHEN d > 0
+                 THEN (c1 * 1.0 / n1 - c0 * 1.0 / n0) / d END)
+                 > {AB_Z_CRIT!r}, FALSE) AS significant_95,
+           ROUND(rev0, 4) AS rev0, ROUND(rev1, 4) AS rev1
+    FROM den
+    """,
+)
+def events_ab_uplift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split 50/50 by a SALTED md5
+    (the per-experiment salt is what makes assignments independent
+    across experiments — same user, different experiment, different
+    coin), conversion = any purchase, and the two-proportion pooled
+    z-test decides significance at the embedded two-sided 95% critical
+    value — the experimentation primitive every growth pipeline runs,
+    here with the assignment, the uplift, and the decision all in one
+    deterministic query. (A null experiment on organic data: the
+    significance flag SHOULD be false almost always — the test's own
+    calibration check.)
+
+    Scale shape: one pass folds events to per-(user, arm) conversion
+    flags and revenue (map-side partials on the user key); the arm
+    rollup has 2 rows and the z arithmetic runs on a 1-row pivot.
+    Nothing after the first aggregation exceeds 2 rows.
+
+    Determinism: md5 assignment is cross-engine identical (rule 3);
+    conversion counts are exact integers; revenue decimal-accumulates;
+    the z statistic is one IEEE tree over exact-count-derived doubles
+    (sqrt correctly rounded on both engines); the critical value is a
+    Python float literal in both plans."""
+    from gresearch_parquet_benchmarking_spark.sources.events import load_events
+
+    salt = AB_SALT.strip("'")
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "value")
+    assigned = (
+        ev.groupBy(
+            "user_id",
+            (
+                md5_hash64(F.concat(F.lit(salt), F.col("user_id").cast("string")))
+                % 2
+            ).alias("arm"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(27,6)"),
+                ).otherwise(F.lit(0).cast("decimal(27,6)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum(F.col("revenue").cast("decimal(27,6)")).cast("double").alias("revenue"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 0, F.col("revenue"))).alias("rev0_raw"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+        F.max(F.when(F.col("arm") == 1, F.col("revenue"))).alias("rev1_raw"),
+    )
+    r0 = F.col("c0") * F.lit(1.0) / F.col("n0")
+    r1 = F.col("c1") * F.lit(1.0) / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) * F.lit(1.0) / (F.col("n0") + F.col("n1"))
+    # degenerate pools (everyone or no one converted) zero the pooled
+    # variance — ANSI divide-by-zero on Spark, inf on DuckDB; guard both
+    d = F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    z = F.when(d > 0, (r1 - r0) / d)
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(r0, 6).alias("rate0"),
+        F.round(r1, 6).alias("rate1"),
+        F.round(r1 - r0, 6).alias("uplift"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > AB_Z_CRIT, F.lit(False)).alias("significant_95"),
+        F.round("rev0_raw", 4).alias("rev0"),
+        F.round("rev1_raw", 4).alias("rev1"),
+    )

@@ -128,3 +128,13 @@ def test_binary_hamming_recall_table_shape(spark):
     for r in rows:
         assert r.n_true == 5 and 0 <= r.n_hits <= 5
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_ab_ztest_null_experiment_calibrated(spark):
+    (row,) = _rows(spark, "events_ab_uplift_ztest")
+    assert row.n0 + row.n1 > 0 and row.c0 <= row.n0 and row.c1 <= row.n1
+    # salted hash should split users roughly evenly
+    assert abs(row.n0 - row.n1) < 0.5 * (row.n0 + row.n1)
+    # organic data carries no treatment: |z| should be finite and the
+    # uplift tiny relative to the rates (calibration, not significance)
+    assert row.z_stat is None or abs(row.z_stat) < 10
