@@ -60,26 +60,104 @@ def query(
     return deco
 
 
-# Canonical module order for the registry listing. The driver's
-# correctness sweep snapshots the FIRST 50 entries of all_queries(),
-# so this ranking — not Python import order, which any direct module
-# import can perturb — decides which queries get hard driver signal.
-# Round-6 window rationale: see _ensure_loaded.
+# Canonical ordering for the registry listing. The driver's correctness
+# sweep snapshots the FIRST 50 entries of all_queries(), so this ranking
+# — not Python import order, which any direct module import can perturb
+# — decides which queries get hard driver signal.
+#
+# Round 7 (VERDICT r6 "Next round" #1): the window must be drawn from
+# the 71 queries that have NEVER appeared in a driver CORRECTNESS
+# artifact (all r6 additions), riskiest first. Those 71 are scattered
+# across 14 modules that also contain driver-green queries, so module
+# granularity cannot express the composition — _WINDOW_PRIORITY names
+# the 50 explicitly. Everything else falls back to module order.
+_WINDOW_PRIORITY = [
+    # dedup — r6-new, never driver-checked (riskiest: novel algorithms)
+    "dedup_containment_bottomk",
+    "dedup_substring_coverage",
+    "dedup_multimodal_phash",
+    # similarity/ANN — r6-new, never driver-checked
+    "ann_mmr_diversified_topk",
+    "embedding_neardup_threshold_sweep",
+    "ann_range_search",
+    "embedding_matryoshka_recall",
+    "ann_hard_negative_mining",
+    "ann_knn_classifier_eval",
+    "ann_rrf_fusion",
+    "embedding_int8_quant_error",
+    "ann_binary_hamming_recall",
+    # graph — r6-new, never driver-checked
+    "graph_pagerank_bipartite",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_kcore_bounded",
+    "graph_brand_modularity",
+    "graph_link_prediction_ra",
+    # sketches — r6-new, never driver-checked
+    "sketch_kmv_setops",
+    "sketch_quantile_histogram",
+    # retrieval — r6-new, never driver-checked
+    "text_bm25_search",
+    "fuzzy_join_part_names",
+    "retrieval_ndcg_bm25",
+    # drift — r6-new, never driver-checked
+    "drift_ks_doc_length",
+    "drift_psi_doc_length",
+    "drift_embedding_centroid",
+    "drift_token_jsd",
+    # dataquality — r6-new, never driver-checked
+    "dq_constraint_suite",
+    "events_freshness_lag",
+    "dq_benford_order_prices",
+    # quality/tokenizer — r6-new, never driver-checked
+    "quality_gopher_rules",
+    "text_novelty_coverage",
+    "text_zipf_fit",
+    "tokenizer_fertility_by_lang",
+    "quality_filter_ablation",
+    "tokenizer_vocab_coverage",
+    # pipeline3 — r6-new, never driver-checked
+    "mixture_temperature_sampling",
+    "bpe_top_merges",
+    # streaming.trending — r6-new, never driver-checked
+    "stream_topk_trending",
+    "stream_psi_value_drift",
+    "stream_integrity_checksum",
+    # scale — r6-new, never driver-checked
+    "layout_partition_pruned_scan",
+    "skew_key_histogram",
+    # pipeline2 — r6-new, never driver-checked
+    "events_daily_anomaly_mad",
+    # analytics/analytics2 — the algorithmically riskiest 6 of the 27
+    # never-checked warehouse rows (SCD2 intervals, tolerance as-of,
+    # weighted reservoir sampling, weighted median, recursive EWMA,
+    # pooled z-test); the mechanically simpler 21 head the r8 window.
+    "events_scd2_intervals",
+    "asof_join_tolerance",
+    "sample_weighted_aes",
+    "lineitem_weighted_median_price",
+    "orders_ewma_forecast",
+    "events_ab_uplift_ztest",
+]
+assert len(_WINDOW_PRIORITY) == 50 and len(set(_WINDOW_PRIORITY)) == 50
+
+# Tail order for everything outside the explicit window (staleness
+# bookkeeping only — the driver never sees past entry 50).
 _MODULE_ORDER = [
+    "operators.relational",
+    "operators.tpch2",
+    "operators.analytics",
+    "operators.analytics2",
     "streaming.events_stream",
     "operators.text",
     "operators.report",
     "operators.multimodal",
     "operators.profile",
     "operators.relational2",
-    "operators.relational",
-    # ---- the 50-entry window cut lands 11 entries into relational ----
-    "operators.tpch2",
     "operators.dedup",
     "operators.advanced",
     "operators.scale",
     "operators.pipeline2",
-    "operators.analytics",
     "operators.sketches",
     "operators.pipeline",
     "operators.pipeline3",
@@ -90,10 +168,10 @@ _MODULE_ORDER = [
     "operators.dataquality",
     "operators.drift",
     "streaming.trending",
-    "operators.analytics2",
 ]
 _PKG = "gresearch_parquet_benchmarking_spark"
 _MODULE_RANK = {f"{_PKG}.{m}": i for i, m in enumerate(_MODULE_ORDER)}
+_WINDOW_RANK = {name: i for i, name in enumerate(_WINDOW_PRIORITY)}
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -102,7 +180,11 @@ def all_queries() -> dict[str, QueryFn]:
     return dict(
         sorted(
             QUERIES.items(),
-            key=lambda kv: (_MODULE_RANK.get(kv[1].__module__, len(_MODULE_ORDER)), idx[kv[0]]),
+            key=lambda kv: (
+                _WINDOW_RANK.get(kv[0], len(_WINDOW_PRIORITY)),
+                _MODULE_RANK.get(kv[1].__module__, len(_MODULE_ORDER)),
+                idx[kv[0]],
+            ),
         )
     )
 
@@ -117,30 +199,21 @@ def all_oracle_sql() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     # Import for registration side effects; idempotent. (The window is
-    # decided by _MODULE_ORDER, not import order — imports here only
-    # trigger registration.)
+    # decided by _WINDOW_PRIORITY + _MODULE_ORDER, not import order —
+    # imports here only trigger registration.)
     #
-    # Round-6 window (r5 VERDICT "Next round" #1, refined by measured
-    # per-module driver-signal staleness from CORRECTNESS_r01..r05):
-    # events_stream (10 — stream_funnel_stateful had ZERO lifetime
-    # driver signal; + the 2 r6-new streaming queries; rest r4) +
-    # text (9 — text_winnowing_fingerprints had ZERO lifetime signal;
-    # rest r3/r5) + report (6 — r3) + multimodal (5 — r3) + profile
-    # (1 — r2) + relational2 (10 — r1, stalest) + relational's first 9
-    # (r1, stalest + biggest; through join_full_outer) = 50.
-    # This deviates from the raw CLAUDE.md r5 note (which listed
-    # dedup/advanced/pipeline2/scale next) because those modules are
-    # r4-green — only 2 rounds stale — while relational/relational2
-    # (45 queries at r1) and profile (r2) are 4–5 rounds stale; the
-    # note predates the staleness audit. Displaced r5-green modules
-    # (analytics, sketches, pipeline, pipeline3, graph, quality,
-    # similarity) fall to the tail: fresh-green needs no repeat.
-    # r7 rotation plan: relational's remaining 28 + tpch2 (8, r3) +
-    # the r6-new batch queries with no driver signal (see CLAUDE.md) +
-    # dedup/advanced/scale/pipeline2 compete for the next window;
-    # update tests/test_registry_window.py when rotating. Everything
-    # outside the window stays pinned by the local full-registry gate
-    # (scripts_dev/check_queries.py).
+    # Round-7 window (r6 VERDICT "Next round" #1, judge directive):
+    # ALL 50 slots drawn from the 71 queries with zero lifetime driver
+    # signal (every r6 addition), algorithmically riskiest first —
+    # dedup/ANN/graph/sketch/retrieval/drift/DQ/quality/streaming-
+    # trending (44) plus the 6 riskiest analytics rows. See
+    # _WINDOW_PRIORITY above for the exact list.
+    # r8 rotation plan: the remaining 21 never-checked analytics/
+    # analytics2 rows + relational's 29 r1-stale queries = exactly 50.
+    # r9+: tpch2 (8, r3-stale) + dedup/advanced/scale/pipeline2 (r4)
+    # by staleness. Update tests/test_registry_window.py when rotating.
+    # Everything outside the window stays pinned by the local
+    # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
         pipeline2,
         pipeline3,
