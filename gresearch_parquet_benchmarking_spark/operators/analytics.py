@@ -230,6 +230,46 @@ HOT_BIN_SESSIONS = 1024  # sessions per bin above which the bin is salted
 MAX_BIN_SALT = 64        # replication cap for a single pathological bin
 
 
+def _session_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionized user sessions exploded into their hour bins:
+    (user_id, session_id, s, e, bin). Shared by interval_overlap_users
+    and the scale-shape probe (plans/scale_probes.py), which counts
+    per-bin candidate pairs from exactly this relation."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = (
+        marked.withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+    )
+    return sessions.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {US_PER_HOUR}"), F.expr(f"e div {US_PER_HOUR}")
+            )
+        ).alias("bin"),
+    )
+
+
 def _overlap_pairs(binned: DataFrame) -> DataFrame:
     """Distinct (user_a, user_b, sid_a, sid_b) overlapping-session pairs
     from a bin-exploded session table (user_id, session_id, s, e, bin).
@@ -325,41 +365,8 @@ def interval_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew is guarded by the adaptive per-bin salt in
     :func:`_overlap_pairs` (output-invariant; skew fixture pinned in
     tests/test_analytics.py)."""
-    ev = load_events(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    marked = ev.select(
-        "user_id",
-        "event_id",
-        "ts_us",
-        F.when(
-            (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US)
-            | F.lag("ts_us").over(w).isNull(),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sessions = (
-        marked.withColumn(
-            "session_id",
-            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-        )
-        .groupBy("user_id", "session_id")
-        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
-    )
-    binned = sessions.select(
-        "user_id",
-        "session_id",
-        "s",
-        "e",
-        F.explode(
-            F.sequence(
-                F.expr(f"s div {US_PER_HOUR}"), F.expr(f"e div {US_PER_HOUR}")
-            )
-        ).alias("bin"),
-    )
     return (
-        _overlap_pairs(binned)
+        _overlap_pairs(_session_bins(spark, sf_dir))
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("user_a", "user_b")

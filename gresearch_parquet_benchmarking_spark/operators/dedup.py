@@ -283,6 +283,27 @@ _SQL_BANDS = " UNION ALL ".join(
 )
 
 
+def _band_exploded(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, k1, k2) band-bucket rows from a signature frame —
+    one posexplode over an array of (band,k1,k2) structs (one pass over
+    sig instead of an N_BANDS-way union). Shared by the LSH query and
+    the scale-shape probe (plans/scale_probes.py), which counts
+    candidate pairs per bucket from exactly this relation."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("k1"),
+                F.col(f"mh{2 * b + 1}").alias("k2"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.k1", "bk.k2"
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -320,21 +341,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as a signature table (checkpoint/write); persist is the local
     # analog.
     sig = track_persist(_signature_df(spark, sf_dir))
-    # bands via a single posexplode over an array of (band,k1,k2)
-    # structs — one pass over sig instead of an N_BANDS-way union
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"mh{2 * b}").alias("k1"),
-                F.col(f"mh{2 * b + 1}").alias("k2"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band", "bk.k1", "bk.k2"
-    )
+    bands = _band_exploded(sig)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "k1", "k2"
     )

@@ -491,6 +491,47 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RK_BASE = 4_294_967_296  # 2^32: rank key = degree*2^32 + node, collision-free
 
 
+def _oriented_copurchase(spark: SparkSession, sf_dir: str):
+    """(pairs, deg, oriented) for the part co-purchase graph, each
+    persisted via track_persist: distinct undirected edges, per-node
+    degrees, and edges oriented low-rank → high-rank (rank = degree·2³²
+    + node). Shared by graph_triangle_count and the scale-shape probe
+    (plans/scale_probes.py), which derives the oriented wedge count
+    Σ_src C(outdeg, 2) from exactly this relation."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = track_persist(
+        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    deg = track_persist(
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    rk = deg.select("node", (F.col("degree") * _RK_BASE + F.col("node")).alias("rk"))
+    ru = rk.select(F.col("node").alias("nu"), F.col("rk").alias("rku"))
+    rv = rk.select(F.col("node").alias("nv"), F.col("rk").alias("rkv"))
+    lo = F.col("rku") < F.col("rkv")
+    oriented = track_persist(
+        pairs.join(ru, pairs.u == ru.nu)
+        .join(rv, pairs.v == rv.nv)
+        .select(
+            F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lo, F.col("rkv")).otherwise(F.col("rku")).alias("rkdst"),
+        )
+    )
+    return pairs, deg, oriented
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -541,7 +582,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each node's out-degree is O(√m) regardless of how big a hub it
     is, wedges are generated only at each triangle's MINIMUM-rank
     vertex, and every triangle is counted exactly once with no
-    post-hoc dedup.
+    post-hoc dedup. Construction shared with the scale-shape probe via
+    :func:`_oriented_copurchase`.
 
     Scale shape: pair generation self-joins lineitem on l_orderkey
     (bounded per-order fanout), one distinct, one degree aggregation;
@@ -553,37 +595,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts + 3·triangles/wedges), so nothing wide ever leaves the
     executors. The 'curse of the last reducer' (one hub generating
     O(deg²) wedges) is exactly what the orientation eliminates."""
-    from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
-    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
-    pairs = track_persist(
-        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
-        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
-        .distinct()
-    )
-    deg = track_persist(
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    rk = deg.select("node", (F.col("degree") * _RK_BASE + F.col("node")).alias("rk"))
-    ru = rk.select(F.col("node").alias("nu"), F.col("rk").alias("rku"))
-    rv = rk.select(F.col("node").alias("nv"), F.col("rk").alias("rkv"))
-    lo = F.col("rku") < F.col("rkv")
-    oriented = track_persist(
-        pairs.join(ru, pairs.u == ru.nu)
-        .join(rv, pairs.v == rv.nv)
-        .select(
-            F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(lo, F.col("rkv")).otherwise(F.col("rku")).alias("rkdst"),
-        )
-    )
+    pairs, deg, oriented = _oriented_copurchase(spark, sf_dir)
     e1 = oriented.select(
         F.col("src").alias("s1"), F.col("dst").alias("d1"), F.col("rkdst").alias("k1")
     )

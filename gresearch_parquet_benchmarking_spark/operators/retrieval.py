@@ -94,6 +94,24 @@ def _bm25_sql() -> str:
     """
 
 
+def _postings(spark: SparkSession, sf_dir: str):
+    """(toks, tf): the exploded token stream and the (doc_id, term, tf)
+    postings relation for the fixed BM25 query terms — the term filter
+    (a broadcast of |BM25_TERMS| literals) prunes the explode output
+    BEFORE the shuffle. Shared by text_bm25_search and the scale-shape
+    probe (plans/scale_probes.py), which counts candidate postings from
+    exactly this relation."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    qterms = spark.createDataFrame([(t,) for t in BM25_TERMS], ["term"])
+    tf = (
+        toks.join(F.broadcast(qterms), toks.token == qterms.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return toks, tf
+
+
 @query("text_bm25_search", oracle=_bm25_sql)
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-{BM25_TOP} documents for each fixed query term
@@ -112,8 +130,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer tf/df/dl, decimal-mean avgdl, one IEEE score
     tree, rounded-then-ranked with doc_id tiebreaker."""
-    doc = load_table(spark, sf_dir, "documents")
-    toks = doc.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    toks, tf = _postings(spark, sf_dir)
     dl = track_persist(
         toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     )
@@ -123,12 +140,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dl").cast("decimal(27,0)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avgdl"),
-    )
-    qterms = spark.createDataFrame([(t,) for t in BM25_TERMS], ["term"])
-    tf = (
-        toks.join(F.broadcast(qterms), toks.token == qterms.term)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     tf = track_persist(tf)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

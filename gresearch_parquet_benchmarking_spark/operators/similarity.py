@@ -1444,6 +1444,20 @@ _SQL_IVF_COS = (
 )
 
 
+def _bucket_assignment(vec: DataFrame) -> DataFrame:
+    """(vec_id, bucket): nearest-centroid IVF assignment — map-side
+    argmax against the broadcast centroid array (the corpus never
+    shuffles for assignment). Shared by ann_ivf_pq_topk and the
+    scale-shape probe (plans/scale_probes.py), which derives the
+    probed-bucket candidate count from exactly this relation."""
+    with_c = vec.crossJoin(
+        F.broadcast(_centroid_array(_label_centroids(vec)))
+    ).withColumn("nv", l2_norm(F.col("v")))
+    return with_c.select(
+        "vec_id", F.get(_nearest_centroids(1), 0)["c_label"].alias("bucket")
+    )
+
+
 @query(
     "ann_ivf_pq_topk",
     oracle=f"""
@@ -1530,14 +1544,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free, cross-engine exact). Ranking ties break on
     neighbor_id (rule: full unique tiebreaker)."""
     vec = _vectors(spark, sf_dir)
-    with_c = vec.crossJoin(
-        F.broadcast(_centroid_array(_label_centroids(vec)))
-    ).withColumn("nv", l2_norm(F.col("v")))
-    bucketed = track_persist(
-        with_c.select(
-            "vec_id", F.get(_nearest_centroids(1), 0)["c_label"].alias("bucket")
-        )
-    )
+    bucketed = track_persist(_bucket_assignment(vec))
     # spherical PQ: encode UNIT vectors, so ADC's squared L2 is
     # 2 − 2·cos — monotone in the cosine the ground truth ranks by
     # (raw-vector L2 would rank by a different metric; measured recall

@@ -60,3 +60,49 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     Under AQE run an action first so the final plan is inspected."""
     ids = re.findall(r"\*\((\d+)\)", simple_plan(df))
     return len(set(ids))
+
+
+def _walk_executed(node, seen: set):
+    """Depth-first walk over an executed physical plan, following plain
+    children plus AQE containers (AdaptiveSparkPlanExec.executedPlan,
+    QueryStageExec.plan) and InMemoryTableScan's cached build plan (a
+    persist boundary otherwise hides every shuffle below it). Dedups by
+    node identity id, so a cached relation scanned from several places
+    counts its build shuffles exactly once."""
+    nid = node.id()
+    if nid in seen:
+        return
+    seen.add(nid)
+    yield node
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _walk_executed(kids.apply(i), seen)
+    for attr in ("executedPlan", "plan"):
+        if hasattr(node, attr):
+            try:
+                yield from _walk_executed(getattr(node, attr)(), seen)
+            except Exception:  # noqa: BLE001 — not every node has the accessor
+                pass
+    if hasattr(node, "relation"):
+        try:
+            yield from _walk_executed(node.relation().cachedPlan(), seen)
+        except Exception:  # noqa: BLE001 — only InMemoryTableScan has this shape
+            pass
+
+
+def executed_shuffle_bytes(df: DataFrame) -> int:
+    """Total `shuffleBytesWritten` across every DISTINCT exchange in the
+    final (post-AQE) executed plan. Call AFTER an action (collect) —
+    metrics are populated at runtime. ReusedExchange nodes are skipped:
+    they share the origin exchange's metric objects and the physical
+    shuffle happened once."""
+    total = 0
+    for node in _walk_executed(df._jdf.queryExecution().executedPlan(), set()):
+        if "ReusedExchange" in node.getClass().getSimpleName():
+            continue
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleBytesWritten":
+                total += kv._2().value()
+    return total

@@ -1,0 +1,144 @@
+"""Empirical scale-shape probes for the flagship LLM-pipeline operators.
+
+The banded/bucketed designs (LSH bands, IVF buckets, hour bins,
+degree-oriented wedges, term-pruned postings) claim NEAR-LINEAR growth
+of candidate work in corpus size — the property that makes them viable
+at 100 TB, where an all-pairs formulation is quadratic. Plan inspection
+proves the join keys are bucket ids; this module proves the resulting
+CARDINALITIES: each probe computes, from exactly the intermediate
+relation the registered query builds (shared helpers — no parallel
+reimplementation), the candidate count that relation feeds into the
+downstream join, plus the query's real end-to-end shuffle bytes from
+the executed plan.
+
+`tests/test_scale_shapes.py` asserts sub-quadratic growth between
+sf0.01 and sf0.1; `scripts_dev/scale_shapes.py` prints the BENCH.md
+table.
+
+Candidate-count identities (bucket sizes → join output, exact):
+
+* self-join pairs inside a bucket of n rows with a `<` tiebreak:
+  n·(n−1)/2 (LSH bands, hour bins)
+* query-to-corpus join: n_queries·(n_bucket − 1) (IVF probes exclude
+  the query row itself — query vectors are part of the corpus)
+* oriented wedge join at a src of out-degree n: n·(n−1)/2
+* postings: the tf relation IS the candidate set (count it)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    all_queries,
+    release_persists,
+    track_persist,
+)
+from gresearch_parquet_benchmarking_spark.plans.explain import executed_shuffle_bytes
+
+
+def _pairs_within_groups(grouped_counts: DataFrame) -> int:
+    """Σ n·(n−1)/2 over a (…, n) per-group count frame."""
+    row = grouped_counts.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("pairs")
+    ).collect()[0]
+    return int(row["pairs"] or 0)
+
+
+def probe_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> dict:
+    from gresearch_parquet_benchmarking_spark.operators.dedup import (
+        _band_exploded,
+        _signature_df,
+    )
+
+    sig = track_persist(_signature_df(spark, sf_dir))
+    bands = _band_exploded(sig)
+    buckets = bands.groupBy("band", "k1", "k2").agg(F.count(F.lit(1)).alias("n"))
+    out = {
+        "rows": sig.count(),
+        "candidates": _pairs_within_groups(buckets),
+    }
+    release_persists()
+    return out
+
+
+def probe_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> dict:
+    from gresearch_parquet_benchmarking_spark.operators.similarity import (
+        N_QUERIES,
+        _bucket_assignment,
+        _vectors,
+    )
+
+    vec = _vectors(spark, sf_dir)
+    bucketed = track_persist(_bucket_assignment(vec))
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("vec_id") < N_QUERIES).cast("long")).alias("nq"),
+    )
+    row = per_bucket.agg(
+        F.sum(F.expr("nq * (n - 1)")).cast("long").alias("cand")
+    ).collect()[0]
+    out = {"rows": bucketed.count(), "candidates": int(row["cand"] or 0)}
+    release_persists()
+    return out
+
+
+def probe_interval_overlap_users(spark: SparkSession, sf_dir: str) -> dict:
+    from gresearch_parquet_benchmarking_spark.operators.analytics import _session_bins
+
+    binned = track_persist(_session_bins(spark, sf_dir))
+    per_bin = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    out = {
+        "rows": binned.select("user_id", "session_id").distinct().count(),
+        "candidates": _pairs_within_groups(per_bin),
+    }
+    release_persists()
+    return out
+
+
+def probe_graph_triangle_count(spark: SparkSession, sf_dir: str) -> dict:
+    from gresearch_parquet_benchmarking_spark.operators.graph import (
+        _oriented_copurchase,
+    )
+
+    pairs, _deg, oriented = _oriented_copurchase(spark, sf_dir)
+    per_src = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    out = {
+        "rows": pairs.count(),  # distinct co-purchase edges
+        "candidates": _pairs_within_groups(per_src),  # oriented wedges
+    }
+    release_persists()
+    return out
+
+
+def probe_text_bm25_search(spark: SparkSession, sf_dir: str) -> dict:
+    from gresearch_parquet_benchmarking_spark.operators.retrieval import _postings
+
+    toks, tf = _postings(spark, sf_dir)
+    out = {
+        "rows": toks.select("doc_id").distinct().count(),
+        "candidates": tf.count(),
+    }
+    release_persists()
+    return out
+
+
+PROBES = {
+    "dedup_minhash_lsh": probe_dedup_minhash_lsh,
+    "ann_ivf_pq_topk": probe_ann_ivf_pq_topk,
+    "interval_overlap_users": probe_interval_overlap_users,
+    "graph_triangle_count": probe_graph_triangle_count,
+    "text_bm25_search": probe_text_bm25_search,
+}
+
+
+def measure(spark: SparkSession, sf_dir: str, name: str) -> dict:
+    """Candidate-shape probe + the registered query's real end-to-end
+    shuffle bytes (post-AQE executed plan, every distinct exchange)."""
+    stats = PROBES[name](spark, sf_dir)
+    df = all_queries()[name](spark, sf_dir)
+    df.collect()
+    stats["shuffle_bytes"] = executed_shuffle_bytes(df)
+    release_persists()
+    return stats

@@ -1,0 +1,54 @@
+"""Measure the flagship ops' scale shapes at two SFs and print the
+BENCH.md table: candidate-work cardinality and real shuffle bytes must
+grow near-linearly with the corpus (the banded/bucketed claim).
+
+Usage: python scripts_dev/scale_shapes.py [sf_small sf_big]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from gresearch_parquet_benchmarking_spark.plans.scale_probes import PROBES, measure
+from gresearch_parquet_benchmarking_spark.session import get_spark
+
+
+def main() -> None:
+    sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark()
+    results: dict[str, dict] = {}
+    for name in PROBES:
+        t0 = time.monotonic()
+        small = measure(spark, sf_small, name)
+        big = measure(spark, sf_big, name)
+        results[name] = {"small": small, "big": big, "sec": round(time.monotonic() - t0, 1)}
+        print(f"## {name} ({results[name]['sec']}s)", file=sys.stderr)
+
+    rows_hdr = (
+        "| op | rows sf0.01→sf0.1 | growth | candidates sf0.01→sf0.1 | growth |"
+        " shuffle MiB sf0.01→sf0.1 | growth | cand growth / rows growth |"
+    )
+    print(rows_hdr)
+    print("|---|---|---|---|---|---|---|---|")
+    for name, r in results.items():
+        s, b = r["small"], r["big"]
+        rg = b["rows"] / max(s["rows"], 1)
+        cg = b["candidates"] / max(s["candidates"], 1)
+        sg = b["shuffle_bytes"] / max(s["shuffle_bytes"], 1)
+        mib = lambda x: f"{x / 1048576:.2f}"  # noqa: E731
+        print(
+            f"| {name} | {s['rows']:,}→{b['rows']:,} | {rg:.1f}× "
+            f"| {s['candidates']:,}→{b['candidates']:,} | {cg:.1f}× "
+            f"| {mib(s['shuffle_bytes'])}→{mib(b['shuffle_bytes'])} | {sg:.1f}× "
+            f"| {cg / rg:.2f} |"
+        )
+    print(json.dumps(results), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Empirical scale-shape gate for the flagship LLM-pipeline operators
+(VERDICT r6 "Next round" #3): the banded/bucketed designs claim the
+candidate work AND the shuffled bytes grow near-linearly with corpus
+size — verified here by MEASUREMENT at sf0.01 vs sf0.1, not by plan
+inspection. The probes (plans/scale_probes.py) compute candidate
+cardinalities from the SAME intermediate relations the registered
+queries build (shared helpers), and shuffle bytes come from the real
+executed plans (persist build plans included).
+
+Expected shapes (measured r7; BENCH.md "Scale shapes" table):
+
+* dedup_minhash_lsh — band-bucket pairs ~1.4× super-linear (buckets
+  densify mildly); shuffle linear.
+* ann_ivf_pq_topk — probed-bucket candidates linear in corpus (the
+  embeddings table grows 4× between these SFs); shuffle sub-linear.
+* graph_triangle_count — oriented wedges ~1.03× linear in edges (the
+  degree orientation's whole point); shuffle sub-linear.
+* text_bm25_search — term-pruned postings linear in docs; shuffle
+  sub-linear.
+* interval_overlap_users — candidate pair CHECKS are inherently
+  quadratic in per-hour session density (the true co-activity output
+  itself is), and these SFs grow density, not timespan. The banding
+  claim is about movement, not checks: SHUFFLE stays linear (binned
+  rows ship once; pair checks run in-task, salt-bounded per task).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gresearch_parquet_benchmarking_spark.plans.scale_probes import measure
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+# candidate-growth / rows-growth upper bounds (measured: 1.42, 1.02,
+# 1.03, 1.01 — quadratic would be ~rows_growth, i.e. ~10)
+CAND_SLACK = {
+    "dedup_minhash_lsh": 3.0,
+    "ann_ivf_pq_topk": 3.0,
+    "graph_triangle_count": 3.0,
+    "text_bm25_search": 3.0,
+    # density-quadratic by nature; bounded at rows_growth² × slack below
+    "interval_overlap_users": None,
+}
+# shuffle-growth / rows-growth upper bound (measured: 0.4–0.95)
+SHUFFLE_SLACK = 2.0
+
+
+@pytest.mark.parametrize("name", list(CAND_SLACK))
+def test_scale_shape_near_linear(spark, name):
+    small = measure(spark, SF_SMALL, name)
+    big = measure(spark, SF_BIG, name)
+    rows_g = big["rows"] / max(small["rows"], 1)
+    cand_g = big["candidates"] / max(small["candidates"], 1)
+    shuf_g = big["shuffle_bytes"] / max(small["shuffle_bytes"], 1)
+    assert rows_g > 2, f"{name}: SFs did not scale the input ({rows_g:.1f}x)"
+    slack = CAND_SLACK[name]
+    if slack is not None:
+        assert cand_g <= slack * rows_g, (
+            f"{name}: candidate work grew {cand_g:.1f}x for {rows_g:.1f}x rows "
+            f"(bound {slack}x rows growth) — the bucketed claim is broken"
+        )
+    else:
+        # inherently density-quadratic: candidates may track rows², but
+        # never worse (worse would mean the binning replicates pairs)
+        assert cand_g <= 1.5 * rows_g * rows_g, (
+            f"{name}: candidates grew {cand_g:.1f}x — above the inherent "
+            f"density-quadratic bound ({rows_g:.1f}x rows)"
+        )
+    assert shuf_g <= SHUFFLE_SLACK * rows_g, (
+        f"{name}: shuffle bytes grew {shuf_g:.1f}x for {rows_g:.1f}x rows "
+        f"(bound {SHUFFLE_SLACK}x rows growth) — data movement is no longer linear"
+    )
+    assert big["shuffle_bytes"] > 0, f"{name}: no shuffle metrics captured"
