@@ -64,6 +64,21 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
 
 
+# Micro-batch executed plans captured by _run_to_table, in execution
+# order. Every registered streaming query drives its stream(s) through
+# _run_to_table, so draining this after one run yields every physical
+# plan the query executed — tests/test_plan_audit.py audits them for
+# the same no-cartesian / no-stray-Python invariants as batch plans
+# without paying for a second streaming run.
+_CAPTURED_PLANS: list[str] = []
+
+
+def drain_captured_plans() -> list[str]:
+    out = list(_CAPTURED_PLANS)
+    _CAPTURED_PLANS.clear()
+    return out
+
+
 def _run_to_table(
     result: DataFrame, mode: str, state_partitions: int | None = None
 ) -> DataFrame:
@@ -100,6 +115,12 @@ def _run_to_table(
                     f"streaming query {name} did not finish within 300s; "
                     "refusing to return a partially-populated memory table"
                 )
+            try:
+                # last micro-batch's executed physical plan (audited by
+                # tests/test_plan_audit.py; see drain_captured_plans)
+                _CAPTURED_PLANS.append(q._jsq.explainInternal(True))
+            except Exception:  # noqa: BLE001 — capture is best-effort
+                pass
         finally:
             q.stop()
     finally:

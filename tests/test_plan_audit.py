@@ -17,9 +17,10 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 )
 
 # Streaming operators EXECUTE on call (the builder drives the query to
-# completion so the driver can hash a batch result) — auditing them
-# here would re-run ~20 s of streaming per entry; their plans are
-# pinned by the streaming test files instead.
+# completion so the driver can hash a batch result). They get their own
+# audit below: ONE run per query at smoke scale, with every micro-batch
+# executed plan captured inside _run_to_table (events_stream.
+# drain_captured_plans) — the same invariants, no per-invariant re-runs.
 AUDIT_SKIP_PREFIX = "stream_"
 
 # The documented Python surface: multimodal decode/feature/resize/
@@ -49,3 +50,46 @@ def test_no_cartesian_no_stray_python(spark, name):
     assert "CartesianProduct" not in plan, f"{name}: unconstrained cartesian\n{plan}"
     if any(m in plan for m in _PY_MARKERS):
         assert name in PYTHON_ALLOWED, f"{name}: Python evaluator in plan\n{plan}"
+
+
+# The sanctioned streaming Python surface: the three custom stateful
+# operators run applyInPandasWithState by design (SURVEY §2.9 —
+# arbitrary stateful processing has no JVM-declarative equivalent).
+STREAM_PYTHON_ALLOWED = {
+    "stream_dedup_incremental",
+    "stream_funnel_stateful",
+    "stream_funnel_buffered_ooo",
+}
+
+_STREAM_PY_MARKERS = _PY_MARKERS + (
+    "FlatMapGroupsInPandasWithState",
+    "ApplyInPandasWithState",
+)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in all_queries() if n.startswith(AUDIT_SKIP_PREFIX)]
+)
+def test_streaming_no_cartesian_no_stray_python(spark, name):
+    """One real run per streaming query at smoke scale; every executed
+    micro-batch plan (captured in _run_to_table) passes the same audit
+    as batch plans. Closes the r6 VERDICT blind spot: a new streaming
+    query now gets the cartesian/Python audit automatically."""
+    from gresearch_parquet_benchmarking_spark.streaming.events_stream import (
+        drain_captured_plans,
+    )
+
+    drain_captured_plans()
+    fn = all_queries()[name]
+    try:
+        fn(spark, SF_SMOKE)  # driving the stream happens inside the builder
+        plans = drain_captured_plans()
+    finally:
+        release_persists()
+    assert plans, f"{name}: no micro-batch plan captured — audit has no evidence"
+    for plan in plans:
+        assert "CartesianProduct" not in plan, f"{name}: unconstrained cartesian\n{plan}"
+        if any(m in plan for m in _STREAM_PY_MARKERS):
+            assert name in STREAM_PYTHON_ALLOWED, (
+                f"{name}: Python evaluator in streaming plan\n{plan}"
+            )
