@@ -607,6 +607,35 @@ _SQL_CONTAIN_SKETCH = f"""
 """
 
 
+def _bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles, hs): each doc's shingle set plus its CONTAIN_K
+    smallest 32-bit shingle hashes (the bottom-k sketch). Shared by
+    dedup_containment_bottomk and the scale-shape probe
+    (plans/scale_probes.py), which counts posting-bucket candidate
+    pairs from exactly this relation."""
+    corpus = _corpus(spark, sf_dir, "excerpt")
+    return (
+        corpus.select("doc_id", _shingles(tokens_col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            "shingles",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("shingles"),
+                        lambda s: F.conv(
+                            F.substring(F.md5(s), 1, 8), 16, 10
+                        ).cast("bigint"),
+                    )
+                ),
+                1,
+                CONTAIN_K,
+            ).alias("hs"),
+        )
+    )
+
+
 @query(
     "dedup_containment_bottomk",
     oracle=f"""
@@ -656,28 +685,7 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real corpus shows it; the synthetic corpus has no such shingle.
     Determinism: md5 hashing (rule 3), integer set sizes, one IEEE
     division per pair, ROUND(6), (doc_a, doc_b) output order."""
-    corpus = _corpus(spark, sf_dir, "excerpt")
-    toks = tokens_col("text")
-    sk = track_persist(
-        corpus.select("doc_id", _shingles(toks).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select(
-            "doc_id",
-            "shingles",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        F.col("shingles"),
-                        lambda s: F.conv(
-                            F.substring(F.md5(s), 1, 8), 16, 10
-                        ).cast("bigint"),
-                    )
-                ),
-                1,
-                CONTAIN_K,
-            ).alias("hs"),
-        )
-    )
+    sk = track_persist(_bottomk_sketch(spark, sf_dir))
     posts = sk.select("doc_id", F.explode("hs").alias("h"))
     pa = posts.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     pb = posts.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))

@@ -175,6 +175,19 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUZZY_MAX_DIST = 3  # edit-distance match threshold within a block
 
 
+def _blocked_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts with their (noun, p_size) blocking key. Shared by
+    fuzzy_join_part_names and the scale-shape probe
+    (plans/scale_probes.py), which counts per-block candidate pairs
+    from exactly this relation."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.element_at(tokens_col("p_name"), -1).alias("noun"),
+    )
+
+
 @query(
     "fuzzy_join_part_names",
     oracle=f"""
@@ -220,12 +233,7 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: everything is an integer (Levenshtein unit costs,
     counts, extremes); pair dedup by p_partkey < p_partkey."""
-    parts = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_size",
-        F.element_at(tokens_col("p_name"), -1).alias("noun"),
-    )
+    parts = _blocked_parts(spark, sf_dir)
     a = parts.select(
         F.col("noun"),
         F.col("p_size"),

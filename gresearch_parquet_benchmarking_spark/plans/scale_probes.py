@@ -124,12 +124,38 @@ def probe_text_bm25_search(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def probe_dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> dict:
+    from gresearch_parquet_benchmarking_spark.operators.dedup import _bottomk_sketch
+
+    sk = track_persist(_bottomk_sketch(spark, sf_dir))
+    per_hash = (
+        sk.select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = {"rows": sk.count(), "candidates": _pairs_within_groups(per_hash)}
+    release_persists()
+    return out
+
+
+def probe_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> dict:
+    from gresearch_parquet_benchmarking_spark.operators.retrieval import _blocked_parts
+
+    parts = track_persist(_blocked_parts(spark, sf_dir))
+    per_block = parts.groupBy("noun", "p_size").agg(F.count(F.lit(1)).alias("n"))
+    out = {"rows": parts.count(), "candidates": _pairs_within_groups(per_block)}
+    release_persists()
+    return out
+
+
 PROBES = {
     "dedup_minhash_lsh": probe_dedup_minhash_lsh,
     "ann_ivf_pq_topk": probe_ann_ivf_pq_topk,
     "interval_overlap_users": probe_interval_overlap_users,
     "graph_triangle_count": probe_graph_triangle_count,
     "text_bm25_search": probe_text_bm25_search,
+    "dedup_containment_bottomk": probe_dedup_containment_bottomk,
+    "fuzzy_join_part_names": probe_fuzzy_join_part_names,
 }
 
 

@@ -40,11 +40,24 @@ CAND_SLACK = {
     "ann_ivf_pq_topk": 3.0,
     "graph_triangle_count": 3.0,
     "text_bm25_search": 3.0,
-    # density-quadratic by nature; bounded at rows_growth² × slack below
+    # density-quadratic by nature (see module docstring + BENCH.md);
+    # bounded at rows_growth² × slack below
     "interval_overlap_users": None,
+    # bottom-k posting buckets and (noun, p_size) blocks both have
+    # ~fixed key cardinality on this corpus, so occupancy — and the
+    # TRUE planted-dup/pair output — grows with density: quadratic
+    # between these SFs, linear in timespan/partition growth at
+    # production. Measured r7: 77.8× and 99.2× for 10× rows.
+    "dedup_containment_bottomk": None,
+    "fuzzy_join_part_names": None,
 }
 # shuffle-growth / rows-growth upper bound (measured: 0.4–0.95)
 SHUFFLE_SLACK = 2.0
+# containment ships shingle arrays for VERIFICATION of each candidate,
+# so its shuffle tracks the candidate density (measured 17.2× for 10×
+# rows) — bounded against candidates below, not rows. fuzzy computes
+# Levenshtein in-join and ships only per-noun aggregates (1.0×).
+SHUFFLE_TRACKS_CANDIDATES = {"dedup_containment_bottomk"}
 
 
 @pytest.mark.parametrize("name", list(CAND_SLACK))
@@ -68,8 +81,14 @@ def test_scale_shape_near_linear(spark, name):
             f"{name}: candidates grew {cand_g:.1f}x — above the inherent "
             f"density-quadratic bound ({rows_g:.1f}x rows)"
         )
-    assert shuf_g <= SHUFFLE_SLACK * rows_g, (
-        f"{name}: shuffle bytes grew {shuf_g:.1f}x for {rows_g:.1f}x rows "
-        f"(bound {SHUFFLE_SLACK}x rows growth) — data movement is no longer linear"
-    )
+    if name in SHUFFLE_TRACKS_CANDIDATES:
+        assert shuf_g <= 1.5 * cand_g, (
+            f"{name}: shuffle grew {shuf_g:.1f}x vs candidates {cand_g:.1f}x — "
+            f"shipping more than the verification payload"
+        )
+    else:
+        assert shuf_g <= SHUFFLE_SLACK * rows_g, (
+            f"{name}: shuffle bytes grew {shuf_g:.1f}x for {rows_g:.1f}x rows "
+            f"(bound {SHUFFLE_SLACK}x rows growth) — data movement is no longer linear"
+        )
     assert big["shuffle_bytes"] > 0, f"{name}: no shuffle metrics captured"
