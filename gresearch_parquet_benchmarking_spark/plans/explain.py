@@ -62,14 +62,27 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(ids))
 
 
+def _java_identity(node) -> int:
+    """JVM object identity for a py4j plan-node proxy. NOT node.id():
+    QueryStageExec overrides id with a per-query stage counter, so ids
+    collide across an outer plan and a cached relation's inner plan —
+    the collision silently pruned entire cached subtrees from the walk
+    (r7 lesson, pinned by test_executed_shuffle_bytes)."""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm  # type: ignore[attr-defined]
+    return jvm.java.lang.System.identityHashCode(node)
+
+
 def _walk_executed(node, seen: set):
     """Depth-first walk over an executed physical plan, following plain
     children plus AQE containers (AdaptiveSparkPlanExec.executedPlan,
     QueryStageExec.plan) and InMemoryTableScan's cached build plan (a
     persist boundary otherwise hides every shuffle below it). Dedups by
-    node identity id, so a cached relation scanned from several places
-    counts its build shuffles exactly once."""
-    nid = node.id()
+    JVM object identity, so a subtree shared by several consumers (a
+    reused exchange, a cached relation scanned twice) counts its
+    shuffles exactly once."""
+    nid = _java_identity(node)
     if nid in seen:
         return
     seen.add(nid)
