@@ -588,7 +588,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Containment dedup (round 6): the near-SUPERSET pairs Jaccard misses
 # ---------------------------------------------------------------------------
 
-CONTAIN_K = 4       # bottom-k sketch size (postings per doc)
+CONTAIN_K = 24      # bottom-k sketch size (minima per doc)
+CONTAIN_REQ = 3     # shared bottom-k minima required for candidacy
 CONTAIN_MIN = 0.8   # exact-containment acceptance threshold
 
 _SQL_CONTAIN_SKETCH = f"""
@@ -636,15 +637,64 @@ def _bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_postings(sk: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2): every strict pair of a doc's bottom-k minima,
+    generated in-row (flatten∘transform over the sorted hs array — no
+    shuffle, ≤ C(CONTAIN_K,2) constant-width rows per doc). Shared by
+    dedup_containment_bottomk and its scale probe."""
+    hs = F.col("hs")
+    pairs = F.flatten(
+        F.transform(
+            hs,
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(hs, i + F.lit(2), F.lit(CONTAIN_K)),
+                    lambda y: y > x,
+                ),
+                lambda y: F.struct(x.alias("h1"), y.alias("h2")),
+            ),
+        )
+    )
+    return sk.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2")
+    )
+
+
 @query(
     "dedup_containment_bottomk",
     oracle=f"""
     WITH {_SQL_CONTAIN_SKETCH.format(corpus=_sql_corpus('excerpt'))},
     posts AS (SELECT doc_id, unnest(hs) AS h FROM sk),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    pp AS (
+        SELECT a.doc_id, a.h AS h1, b.h AS h2
         FROM posts a JOIN posts b
-          ON a.h = b.h AND a.doc_id < b.doc_id
+          ON a.doc_id = b.doc_id AND a.h < b.h
+    ),
+    pj AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS cnt
+        FROM pp x JOIN pp y
+          ON x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    lens AS (SELECT doc_id, LEN(hs) AS nh FROM sk),
+    cand2 AS (
+        SELECT pj.doc_a, pj.doc_b
+        FROM pj JOIN lens la ON la.doc_id = pj.doc_a
+                JOIN lens lb ON lb.doc_id = pj.doc_b
+        WHERE cnt >= CASE WHEN LEAST({CONTAIN_REQ}, la.nh, lb.nh)
+                               >= {CONTAIN_REQ} THEN 3 ELSE 1 END
+    ),
+    cand1 AS (
+        SELECT LEAST(o.doc_id, p.doc_id) AS doc_a,
+               GREATEST(o.doc_id, p.doc_id) AS doc_b
+        FROM (SELECT doc_id, hs[1] AS h FROM sk WHERE LEN(hs) = 1) o
+        JOIN posts p ON p.h = o.h AND p.doc_id <> o.doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b FROM cand2
+            UNION ALL SELECT doc_a, doc_b FROM cand1
+        )
     )
     SELECT c.doc_a, c.doc_b,
            ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -673,27 +723,79 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so candidates come from a bottom-k shingle-hash sketch instead:
     each doc posts its {CONTAIN_K} smallest 32-bit shingle hashes; a
     contained doc's smallest hashes are a subsample of its container's
-    hash set, so subset pairs collide with high probability regardless
-    of the size ratio.
+    hash set, so subset pairs share many minima regardless of the
+    size ratio.
 
-    Scale shape: {CONTAIN_K} constant-width posting rows per doc; the
-    candidate self-join shuffles on the hash value; exact verification
-    re-joins shingle arrays for candidates only (the LSH pipeline's
-    shape). Skew note: a corpus-wide boilerplate shingle that reaches
-    many docs' bottom-k creates a hot posting bucket — the adaptive
-    salting of analytics._overlap_pairs is the documented remedy when
-    a real corpus shows it; the synthetic corpus has no such shingle.
+    Candidate rule (round 8, replacing the r6 single-shared-minimum
+    rule the r7 precision measurement showed collision-quadratic:
+    5.0%→0.68% precision per decade of density): a pair is a candidate
+    only with ≥ {CONTAIN_REQ} shared bottom-k minima, evaluated by
+    joining (h1,h2) posting PAIRS — a pair sharing m minima collides
+    on C(m,2) posting pairs, so the HAVING bound C({CONTAIN_REQ},2)=3
+    expresses the rule without posting triples and the single-minimum
+    collision noise never materialises even as join output. Docs with
+    fewer than {CONTAIN_REQ} minima keep proportionally weaker bounds
+    (2-minima docs: one shared posting pair; 1-shingle docs: a
+    single-posting side channel — they cannot share two). Measured
+    (BENCH.md r8): candidates 730→49 at sf0.01 and 62 202→822 at
+    sf0.1, precision 5.6%→94% and 0.68%→61%, planted-excerpt recall
+    UP 15/20→20/20 (k 4→24 more than offsets the tighter rule) and
+    200/200 at sf0.1, and the r6-rule verified output is preserved
+    exactly (superset at every SF).
+
+    Scale shape: ≤ C({CONTAIN_K},2) constant-width posting-pair rows
+    per doc; the candidate join shuffles on the (h1,h2) value pair;
+    exact verification re-joins shingle arrays for candidates only
+    (the LSH pipeline's shape). Skew note: a corpus-wide boilerplate
+    shingle PAIR that reaches many docs' bottom-k creates a hot
+    posting bucket — the adaptive salting of analytics._overlap_pairs
+    is the documented remedy when a real corpus shows it.
     Determinism: md5 hashing (rule 3), integer set sizes, one IEEE
     division per pair, ROUND(6), (doc_a, doc_b) output order."""
     sk = track_persist(_bottomk_sketch(spark, sf_dir))
-    posts = sk.select("doc_id", F.explode("hs").alias("h"))
-    pa = posts.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
-    pb = posts.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
-    cand = (
-        pa.join(pb, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b")
-        .distinct()
+    pp = _pair_postings(sk)
+    xa = pp.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    xb = pp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("h1b"),
+        F.col("h2").alias("h2b"),
     )
+    pj = (
+        xa.join(
+            xb,
+            (F.col("h1") == F.col("h1b"))
+            & (F.col("h2") == F.col("h2b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lens = sk.select("doc_id", F.size("hs").alias("nh"))
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("nh").alias("nh_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("nh").alias("nh_b"))
+    req = F.when(
+        F.least(F.lit(CONTAIN_REQ), F.col("nh_a"), F.col("nh_b")) >= CONTAIN_REQ,
+        F.lit(3),
+    ).otherwise(F.lit(1))
+    cand2 = (
+        pj.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("cnt") >= req)
+        .select("doc_a", "doc_b")
+    )
+    posts = sk.select("doc_id", F.explode("hs").alias("h"))
+    ones = sk.filter(F.size("hs") == 1).select(
+        F.col("doc_id").alias("doc_o"), F.get("hs", 0).alias("h")
+    )
+    cand1 = (
+        ones.join(posts, "h")
+        .filter(F.col("doc_o") != F.col("doc_id"))
+        .select(
+            F.least("doc_o", "doc_id").alias("doc_a"),
+            F.greatest("doc_o", "doc_id").alias("doc_b"),
+        )
+    )
+    cand = cand2.unionByName(cand1).distinct()
     sa = sk.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
     sb = sk.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))

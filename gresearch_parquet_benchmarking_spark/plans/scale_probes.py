@@ -125,15 +125,34 @@ def probe_text_bm25_search(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def probe_dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> dict:
-    from gresearch_parquet_benchmarking_spark.operators.dedup import _bottomk_sketch
+    """Candidate work of the r8 rule: pair-join output rows =
+    Σ C(n,2) over (h1,h2) posting-pair buckets, plus the 1-shingle
+    side channel's n_one·(n−1) per single-hash bucket."""
+    from gresearch_parquet_benchmarking_spark.operators.dedup import (
+        _bottomk_sketch,
+        _pair_postings,
+    )
 
     sk = track_persist(_bottomk_sketch(spark, sf_dir))
-    per_hash = (
-        sk.select("doc_id", F.explode("hs").alias("h"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
+    per_pair = (
+        _pair_postings(sk).groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("n"))
     )
-    out = {"rows": sk.count(), "candidates": _pairs_within_groups(per_hash)}
+    pair_work = _pairs_within_groups(per_pair)
+    per_hash = (
+        sk.select(
+            "doc_id", (F.size("hs") == 1).cast("long").alias("one"),
+            F.explode("hs").alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("one").alias("n_one"))
+    )
+    row = per_hash.agg(
+        F.sum(F.expr("n_one * (n - 1)")).cast("long").alias("w")
+    ).collect()[0]
+    out = {
+        "rows": sk.count(),
+        "candidates": pair_work + int(row["w"] or 0),
+    }
     release_persists()
     return out
 

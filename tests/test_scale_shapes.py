@@ -17,6 +17,9 @@ Expected shapes (measured r7; BENCH.md "Scale shapes" table):
   degree orientation's whole point); shuffle sub-linear.
 * text_bm25_search — term-pruned postings linear in docs; shuffle
   sub-linear.
+* dedup_containment_bottomk — (h1,h2) posting-pair join work ~1.1×
+  linear (r8 rule; the r6 single-minimum rule measured 7.78×/1× —
+  collision noise, fixed); shuffle ~linear.
 * interval_overlap_users — candidate pair CHECKS are inherently
   quadratic in per-hour session density (the true co-activity output
   itself is), and these SFs grow density, not timespan. The banding
@@ -40,24 +43,24 @@ CAND_SLACK = {
     "ann_ivf_pq_topk": 3.0,
     "graph_triangle_count": 3.0,
     "text_bm25_search": 3.0,
+    # r8 rule (≥3 shared bottom-k minima via (h1,h2) posting pairs):
+    # pair-join work measured 11.15× for 10× rows — the r6 rule's
+    # collision-quadratic 77.8× is gone (BENCH.md r8)
+    "dedup_containment_bottomk": 3.0,
     # density-quadratic by nature (see module docstring + BENCH.md);
     # bounded at rows_growth² × slack below
     "interval_overlap_users": None,
-    # bottom-k posting buckets and (noun, p_size) blocks both have
-    # ~fixed key cardinality on this corpus, so occupancy — and the
-    # TRUE planted-dup/pair output — grows with density: quadratic
-    # between these SFs, linear in timespan/partition growth at
-    # production. Measured r7: 77.8× and 99.2× for 10× rows.
-    "dedup_containment_bottomk": None,
+    # (noun, p_size) blocks have ~fixed key cardinality on this
+    # corpus, so occupancy — and the TRUE pair output — grows with
+    # density: quadratic between these SFs, linear in timespan/
+    # partition growth at production. Measured r7: 99.2× for 10× rows.
     "fuzzy_join_part_names": None,
 }
-# shuffle-growth / rows-growth upper bound (measured: 0.4–0.95)
+# shuffle-growth / rows-growth upper bound (measured: 0.4–1.04;
+# containment's 1.04 includes the per-candidate verification payload,
+# now linear under the r8 rule)
 SHUFFLE_SLACK = 2.0
-# containment ships shingle arrays for VERIFICATION of each candidate,
-# so its shuffle tracks the candidate density (measured 17.2× for 10×
-# rows) — bounded against candidates below, not rows. fuzzy computes
-# Levenshtein in-join and ships only per-noun aggregates (1.0×).
-SHUFFLE_TRACKS_CANDIDATES = {"dedup_containment_bottomk"}
+SHUFFLE_TRACKS_CANDIDATES: set[str] = set()
 
 
 @pytest.mark.parametrize("name", list(CAND_SLACK))
