@@ -65,79 +65,68 @@ def query(
 # — not Python import order, which any direct module import can perturb
 # — decides which queries get hard driver signal.
 #
-# Round 7 (VERDICT r6 "Next round" #1): the window must be drawn from
-# the 71 queries that have NEVER appeared in a driver CORRECTNESS
-# artifact (all r6 additions), riskiest first. Those 71 are scattered
-# across 14 modules that also contain driver-green queries, so module
-# granularity cannot express the composition — _WINDOW_PRIORITY names
-# the 50 explicitly. Everything else falls back to module order.
+# Round 8 (VERDICT r7 "Next round" #2, rotation planned in CLAUDE.md
+# before the r7 window filled): the final 21 queries with ZERO
+# lifetime driver signal (analytics 12 + analytics2 9 — the r7 judge
+# independently verified all 21 green, so these slots are
+# confirmation, not discovery) head the window, followed by
+# relational's 29 r1-stale rows (green in CORRECTNESS_r01, unseen by
+# the driver for six rounds). 21 + 29 = exactly 50; after this round
+# every registered query has lifetime driver signal (237/237).
 _WINDOW_PRIORITY = [
-    # dedup — r6-new, never driver-checked (riskiest: novel algorithms)
-    "dedup_containment_bottomk",
-    "dedup_substring_coverage",
-    "dedup_multimodal_phash",
-    # similarity/ANN — r6-new, never driver-checked
-    "ann_mmr_diversified_topk",
-    "embedding_neardup_threshold_sweep",
-    "ann_range_search",
-    "embedding_matryoshka_recall",
-    "ann_hard_negative_mining",
-    "ann_knn_classifier_eval",
-    "ann_rrf_fusion",
-    "embedding_int8_quant_error",
-    "ann_binary_hamming_recall",
-    # graph — r6-new, never driver-checked
-    "graph_pagerank_bipartite",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_kcore_bounded",
-    "graph_brand_modularity",
-    "graph_link_prediction_ra",
-    # sketches — r6-new, never driver-checked
-    "sketch_kmv_setops",
-    "sketch_quantile_histogram",
-    # retrieval — r6-new, never driver-checked
-    "text_bm25_search",
-    "fuzzy_join_part_names",
-    "retrieval_ndcg_bm25",
-    # drift — r6-new, never driver-checked
-    "drift_ks_doc_length",
-    "drift_psi_doc_length",
-    "drift_embedding_centroid",
-    "drift_token_jsd",
-    # dataquality — r6-new, never driver-checked
-    "dq_constraint_suite",
-    "events_freshness_lag",
-    "dq_benford_order_prices",
-    # quality/tokenizer — r6-new, never driver-checked
-    "quality_gopher_rules",
-    "text_novelty_coverage",
-    "text_zipf_fit",
-    "tokenizer_fertility_by_lang",
-    "quality_filter_ablation",
-    "tokenizer_vocab_coverage",
-    # pipeline3 — r6-new, never driver-checked
-    "mixture_temperature_sampling",
-    "bpe_top_merges",
-    # streaming.trending — r6-new, never driver-checked
-    "stream_topk_trending",
-    "stream_psi_value_drift",
-    "stream_integrity_checksum",
-    # scale — r6-new, never driver-checked
-    "layout_partition_pruned_scan",
-    "skew_key_histogram",
-    # pipeline2 — r6-new, never driver-checked
-    "events_daily_anomaly_mad",
-    # analytics/analytics2 — the algorithmically riskiest 6 of the 27
-    # never-checked warehouse rows (SCD2 intervals, tolerance as-of,
-    # weighted reservoir sampling, weighted median, recursive EWMA,
-    # pooled z-test); the mechanically simpler 21 head the r8 window.
-    "events_scd2_intervals",
-    "asof_join_tolerance",
-    "sample_weighted_aes",
-    "lineitem_weighted_median_price",
-    "orders_ewma_forecast",
-    "events_ab_uplift_ztest",
+    # analytics — never driver-checked (zero lifetime signal)
+    "events_markov_transitions",
+    "orders_seasonality_trailing",
+    "basket_part_affinity",
+    "supplier_concentration_hhi",
+    "events_rfm_scores",
+    "events_power_user_concentration",
+    "event_funnel_latency",
+    "events_top_paths",
+    "events_inter_arrival_percentiles",
+    "events_peak_concurrency",
+    "events_value_twap_daily",
+    "event_attribution_linear",
+    # analytics2 — never driver-checked (zero lifetime signal)
+    "customer_order_streaks",
+    "orders_date_spine_fill",
+    "integrity_partition_checksums",
+    "snapshot_diff_orders",
+    "orders_abc_pareto",
+    "orders_cohort_ltv",
+    "supplier_otd_scorecard",
+    "events_stickiness_dau_wau",
+    "events_bot_screen",
+    # relational — r1-stale (last driver signal: CORRECTNESS_r01)
+    "join_full_outer",
+    "join_cross_small",
+    "window_rank_in_brand",
+    "window_running_total",
+    "window_lag_lead",
+    "window_moving_avg",
+    "topk_per_group",
+    "window_ntile_percent",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats_moments",
+    "agg_conditional",
+    "having_filter",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "sort_limit_viewer",
+    "multi_key_sort",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "case_when_recode",
+    "pivot_avg",
+    "unpivot_long",
+    "corr_matrix",
+    "subquery_above_avg",
+    "in_subquery",
+    "correlated_exists_agg",
 ]
 assert len(_WINDOW_PRIORITY) == 50 and len(set(_WINDOW_PRIORITY)) == 50
 
@@ -202,16 +191,15 @@ def _ensure_loaded() -> None:
     # decided by _WINDOW_PRIORITY + _MODULE_ORDER, not import order —
     # imports here only trigger registration.)
     #
-    # Round-7 window (r6 VERDICT "Next round" #1, judge directive):
-    # ALL 50 slots drawn from the 71 queries with zero lifetime driver
-    # signal (every r6 addition), algorithmically riskiest first —
-    # dedup/ANN/graph/sketch/retrieval/drift/DQ/quality/streaming-
-    # trending (44) plus the 6 riskiest analytics rows. See
-    # _WINDOW_PRIORITY above for the exact list.
-    # r8 rotation plan: the remaining 21 never-checked analytics/
-    # analytics2 rows + relational's 29 r1-stale queries = exactly 50.
-    # r9+: tpch2 (8, r3-stale) + dedup/advanced/scale/pipeline2 (r4)
-    # by staleness. Update tests/test_registry_window.py when rotating.
+    # Round-8 window (r7 VERDICT "Next round" #2): the final 21
+    # never-driver-checked queries (analytics 12 + analytics2 9) +
+    # relational's 29 r1-stale rows — closes lifetime driver coverage
+    # at 237/237. See _WINDOW_PRIORITY above for the exact list.
+    # r9 rotation plan (write before the window fills): tpch2's 8
+    # r3-stale rows first, then dedup/advanced/scale/pipeline2's
+    # r4-stale rows by staleness (oldest signal first), topped up
+    # from the r5-stale tail to reach 50. Update
+    # tests/test_registry_window.py when rotating.
     # Everything outside the window stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401

@@ -18,17 +18,19 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-7 window (VERDICT r6 "Next round" #1, judge directive): ALL 50
-# slots drawn from the 71 queries with ZERO lifetime driver signal
-# (every r6 addition), algorithmically riskiest first. The canonical
-# list lives in registry._WINDOW_PRIORITY; this test pins that the
-# listing actually honors it AND that every windowed query really had
-# no prior driver signal (checked against the committed CORRECTNESS
-# artifacts, r1–r6).
+# Round-8 window (VERDICT r7 "Next round" #2, rotation planned in
+# CLAUDE.md during r7): the final 21 queries with zero lifetime driver
+# signal (analytics 12 + analytics2 9) followed by relational's 29
+# r1-stale rows. The canonical list lives in registry._WINDOW_PRIORITY;
+# these tests pin that the listing honors it AND that the composition
+# matches the staleness ledger in the committed CORRECTNESS artifacts.
 MUST_BE_IN_WINDOW = list(_WINDOW_PRIORITY)
+N_NEVER_CHECKED = 21  # window[:21] must have zero r1–r7 driver signal
+# window[21:] must be exactly the r1-stale set (green in r1, unseen
+# since)
 
 
-def test_round7_window_composition():
+def test_round8_window_composition():
     names = list(all_queries())
     window = names[:WINDOW]
     assert window == MUST_BE_IN_WINDOW, (
@@ -37,18 +39,41 @@ def test_round7_window_composition():
     )
 
 
-def test_round7_window_is_never_driver_checked():
-    """Every r7 window slot must be spent on a query with no lifetime
-    driver CORRECTNESS signal (r6 VERDICT: the backlog of 71 such
-    queries outgrew the window; r7 must retire 50 of them)."""
+def _last_driver_signal() -> dict[str, int]:
+    """query -> latest round (1–7) whose committed CORRECTNESS artifact
+    contains it; absent = never driver-checked."""
     repo = Path(__file__).resolve().parents[1]
-    seen: set[str] = set()
-    for art in sorted(repo.glob("CORRECTNESS_r0[1-6].json")):
-        seen |= set(json.loads(art.read_text()))
-    if not seen:  # artifacts absent in a bare checkout — nothing to pin
+    last: dict[str, int] = {}
+    for art in sorted(repo.glob("CORRECTNESS_r0[1-7].json")):
+        rnd = int(art.stem.split("r0")[1])
+        for q in json.loads(art.read_text()):
+            last[q] = max(last.get(q, 0), rnd)
+    return last
+
+
+def test_round8_window_head_is_never_driver_checked():
+    """The first 21 slots must be spent on the queries with NO lifetime
+    driver CORRECTNESS signal — after this round that backlog is zero
+    and lifetime coverage reaches 237/237."""
+    last = _last_driver_signal()
+    if not last:  # artifacts absent in a bare checkout — nothing to pin
         return
-    already = [n for n in MUST_BE_IN_WINDOW if n in seen]
-    assert already == [], f"window slots wasted on driver-green queries: {already}"
+    wasted = [n for n in MUST_BE_IN_WINDOW[:N_NEVER_CHECKED] if n in last]
+    assert wasted == [], f"head slots wasted on driver-green queries: {wasted}"
+
+
+def test_round8_window_tail_is_r1_stale():
+    """The remaining 29 slots must be spent on queries whose ONLY driver
+    signal is CORRECTNESS_r01 (the stalest cohort in the registry)."""
+    last = _last_driver_signal()
+    if not last:
+        return
+    not_stale = [
+        n for n in MUST_BE_IN_WINDOW[N_NEVER_CHECKED:] if last.get(n) != 1
+    ]
+    assert not_stale == [], (
+        f"tail slots not drawn from the r1-stale cohort: {not_stale}"
+    )
 
 
 ROWS_ONLY_BY_DESIGN: set[str] = set()
