@@ -618,6 +618,9 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
 
 ABC_A_CUT = 0.80   # cumulative-revenue-share class boundaries
 ABC_B_CUT = 0.95
+ABC_RANGES = 32  # prefix-sum range partitions; at 100 TB scale with
+                 # |parts| so each range stays executor-sized — output
+                 # is range-count-invariant (offsets from actual totals)
 
 
 @query(
@@ -657,31 +660,66 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     80%/95% — the inventory-management classic
     ("20% of SKUs carry 80% of revenue") every assortment review runs.
 
-    Scale shape: the fact scan collapses to one revenue-per-part
-    aggregate (map-side decimal partials; |parts| rows — the
-    dimension's cardinality, metadata-sized next to the fact table at
-    any SF); the cumulative window then runs over that aggregate. The
-    single-partition ordered window over |parts| is the honest cost
-    of an exact global Pareto curve — at 100 TB you'd range-partition
-    by the rank key and two-pass the prefix sums exactly like
-    sequence_packing (pipeline3.py) does; the per-part aggregate is
-    small enough here that the direct window is the right local plan.
+    Scale shape (r8, VERDICT r7 #6 — graduated off the
+    single-partition window): the fact scan collapses to one
+    revenue-per-part aggregate (map-side decimal partials; |parts|
+    rows); the exact global prefix sum over it is then TWO-PASS like
+    sequence_packing (pipeline3.py) — `repartitionByRange` on the
+    rank key (rev DESC, partkey) makes ranges contiguous in rank
+    order, the cumulative window runs per-range (widest partition =
+    |parts|/ABC_RANGES, never the whole dimension), and the ≤
+    ABC_RANGES per-range totals are a bounded scalar probe
+    (CLAUDE.md-sanctioned, like graph.py's convergence checks)
+    embedded as plan-constant base offsets — no Exchange
+    SinglePartition anywhere in the executed plan (pinned by
+    tests/test_plan_pins.py). The persist is CORRECTNESS-critical,
+    not a tune: repartitionByRange samples its bounds, so the probe
+    and the window must read the SAME materialized range assignment.
 
-    Determinism: both cumulative and total revenue sums are
-    decimal-accumulated; the rank order is unique ((rev DESC,
-    partkey)); class cuts compare identical IEEE doubles."""
+    Determinism: base offsets + local cumulative sums are exact
+    decimal arithmetic (bit-identical to the single-window decimal
+    sum after the final double cast); the rank order is unique
+    ((rev DESC, partkey)); range-bound placement cannot change the
+    result (offsets are computed from actual per-range totals, and
+    the total order has no ties to split)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), alias="rev")
     )
-    wcum = W.orderBy(F.desc("rev"), F.asc("l_partkey"))
-    cumshare = (
-        F.sum(F.col("rev").cast("decimal(27,4)")).over(wcum).cast("double")
-        / F.sum(F.col("rev").cast("decimal(27,4)"))
-        .over(W.partitionBy())
-        .cast("double")
+    ranged = track_persist(
+        per_part.repartitionByRange(
+            ABC_RANGES, F.desc("rev"), F.asc("l_partkey")
+        ).withColumn("rid", F.spark_partition_id())
     )
-    classed = per_part.select(
+    totals = sorted(
+        ranged.groupBy("rid")
+        .agg(F.sum(F.col("rev").cast("decimal(27,4)")).alias("rtot"))
+        .collect(),
+        key=lambda r: r["rid"],
+    )
+    base_off: dict[int, str] = {}
+    running = 0
+    for r in totals:
+        base_off[r["rid"]] = str(running)
+        running += r["rtot"]
+    total_rev = F.lit(str(running)).cast("decimal(38,4)")
+    off_map = F.create_map(
+        *[
+            x
+            for rid, off in base_off.items()
+            for x in (F.lit(rid), F.lit(off))
+        ]
+    )
+    wloc = (
+        W.partitionBy("rid")
+        .orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.element_at(off_map, F.col("rid")).cast("decimal(38,4)") + F.sum(
+        F.col("rev").cast("decimal(27,4)")
+    ).over(wloc)
+    cumshare = cum.cast("double") / total_rev.cast("double")
+    classed = ranged.select(
         F.when(cumshare <= ABC_A_CUT, "A")
         .when(cumshare <= ABC_B_CUT, "B")
         .otherwise("C")

@@ -200,6 +200,31 @@ def test_sequence_packing_prefix_sum_is_range_partitioned(spark):
     assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), plan
 
 
+def test_abc_pareto_no_single_partition_window(spark):
+    """orders_abc_pareto (r8, VERDICT r7 #6): the exact Pareto prefix
+    sum must be the two-pass range-partitioned shape — the cumulative
+    window partitions by rid (widest partition |parts|/ABC_RANGES) and
+    NO stage collapses to a single partition; the per-range offsets
+    enter as plan constants (bounded scalar probe), not a window."""
+    import re
+
+    from gresearch_parquet_benchmarking_spark.operators import analytics2
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        release_persists,
+    )
+    from gresearch_parquet_benchmarking_spark.plans.explain import formatted_plan
+
+    try:
+        plan = formatted_plan(analytics2.orders_abc_pareto(spark, SF_SMOKE))
+    finally:
+        release_persists()
+    assert "SinglePartition" not in plan, plan
+    # the cumulative window partitions by rid, ordered by the rank key
+    assert re.search(
+        r"windowspecdefinition\(rid#\d+, rev#\d+ DESC", plan
+    ), plan
+
+
 def test_dedup_incremental_no_forced_broadcast(spark):
     """The corpus fingerprint index carries no broadcast HINT (CLAUDE.md
     rule 10): at sf it may broadcast by AQE size estimate, but the
