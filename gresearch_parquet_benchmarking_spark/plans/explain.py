@@ -62,16 +62,23 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(ids))
 
 
-def _java_identity(node) -> int:
-    """JVM object identity for a py4j plan-node proxy. NOT node.id():
-    QueryStageExec overrides id with a per-query stage counter, so ids
-    collide across an outer plan and a cached relation's inner plan —
-    the collision silently pruned entire cached subtrees from the walk
-    (r7 lesson, pinned by test_executed_shuffle_bytes)."""
+def _java_identity(node) -> tuple[str, int]:
+    """JVM (class name, identityHashCode) for a py4j plan-node proxy.
+    NOT node.id(): QueryStageExec overrides id with a per-query stage
+    counter, so ids collide across an outer plan and a cached
+    relation's inner plan — the collision silently pruned entire
+    cached subtrees from the walk (r7 lesson, pinned by
+    test_executed_shuffle_bytes). identityHashCode alone is a 32-bit
+    hash two live objects can share; pairing it with the class name
+    makes an accidental collision (and the silent subtree prune it
+    would cause) effectively impossible (r7 advice)."""
     from pyspark import SparkContext
 
     jvm = SparkContext._active_spark_context._jvm  # type: ignore[attr-defined]
-    return jvm.java.lang.System.identityHashCode(node)
+    return (
+        node.getClass().getName(),
+        jvm.java.lang.System.identityHashCode(node),
+    )
 
 
 def _walk_executed(node, seen: set):

@@ -65,11 +65,15 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Micro-batch executed plans captured by _run_to_table, in execution
-# order. Every registered streaming query drives its stream(s) through
-# _run_to_table, so draining this after one run yields every physical
-# plan the query executed — tests/test_plan_audit.py audits them for
-# the same no-cartesian / no-stray-Python invariants as batch plans
-# without paying for a second streaming run.
+# order: the LAST micro-batch's plan per _run_to_table call (
+# explainInternal reports the most recent batch — a plan shape that
+# appears only in an earlier batch of a multi-batch replay is not
+# captured; the steady-state shape is). Every registered streaming
+# query drives its stream(s) through _run_to_table, so draining this
+# after one run yields each query's final-batch physical plan —
+# tests/test_plan_audit.py audits them for the same no-cartesian /
+# no-stray-Python invariants as batch plans without paying for a
+# second streaming run.
 _CAPTURED_PLANS: list[str] = []
 
 

@@ -43,9 +43,12 @@ def test_counts_shuffle_below_persist_boundary(spark):
         assert below > 0, "persist boundary hid the build-side shuffle"
 
         # the same cached relation consumed twice: the build shuffle
-        # must not double (the union adds no hash exchange of its own)
+        # must not double (the union adds no hash exchange of its own).
+        # The bound must sit BELOW 2x — a regressed walker that counts
+        # the build shuffle once per consumer lands exactly at 2x below
+        # (r8 advice: the original <= 2x bound was vacuous)
         twice = agg.select("k").unionAll(agg.select("k"))
         twice.collect()
-        assert executed_shuffle_bytes(twice) <= 2 * below
+        assert executed_shuffle_bytes(twice) <= 1.5 * below
     finally:
         agg.unpersist()

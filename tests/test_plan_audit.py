@@ -18,9 +18,11 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 # Streaming operators EXECUTE on call (the builder drives the query to
 # completion so the driver can hash a batch result). They get their own
-# audit below: ONE run per query at smoke scale, with every micro-batch
-# executed plan captured inside _run_to_table (events_stream.
-# drain_captured_plans) — the same invariants, no per-invariant re-runs.
+# audit below: ONE run per query at smoke scale, with the FINAL
+# micro-batch executed plan of each _run_to_table call captured
+# (events_stream.drain_captured_plans; explainInternal reports the
+# last batch, so the steady-state shape is what's audited) — the same
+# invariants, no per-invariant re-runs.
 AUDIT_SKIP_PREFIX = "stream_"
 
 # The documented Python surface: multimodal decode/feature/resize/
@@ -67,14 +69,17 @@ _STREAM_PY_MARKERS = _PY_MARKERS + (
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "name", [n for n in all_queries() if n.startswith(AUDIT_SKIP_PREFIX)]
 )
 def test_streaming_no_cartesian_no_stray_python(spark, name):
-    """One real run per streaming query at smoke scale; every executed
-    micro-batch plan (captured in _run_to_table) passes the same audit
-    as batch plans. Closes the r6 VERDICT blind spot: a new streaming
-    query now gets the cartesian/Python audit automatically."""
+    """One real run per streaming query at smoke scale; the final
+    micro-batch plan of every _run_to_table call (the steady-state
+    shape — see the capture note in events_stream.py) passes the same
+    audit as batch plans. Closes the r6 VERDICT blind spot: a new
+    streaming query now gets the cartesian/Python audit
+    automatically."""
     from gresearch_parquet_benchmarking_spark.streaming.events_stream import (
         drain_captured_plans,
     )

@@ -33,6 +33,10 @@ import pytest
 
 from gresearch_parquet_benchmarking_spark.plans.scale_probes import measure
 
+# both-SF end-to-end probes: the expensive tier (ADVICE r7) — runs by
+# default, deselect with -m 'not slow' while iterating
+pytestmark = pytest.mark.slow
+
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
 
