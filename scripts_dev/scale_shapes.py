@@ -3,6 +3,9 @@ BENCH.md table: candidate-work cardinality and real shuffle bytes must
 grow near-linearly with the corpus (the banded/bucketed claim).
 
 Usage: python scripts_dev/scale_shapes.py [sf_small sf_big]
+       python scripts_dev/scale_shapes.py --axis   # production-axis
+       table (BENCH.md r8): 10x timespan / 10 disjoint-vocab domains
+       at constant density — candidate work must grow ~linearly
 """
 
 from __future__ import annotations
@@ -17,7 +20,40 @@ from gresearch_parquet_benchmarking_spark.plans.scale_probes import PROBES, meas
 from gresearch_parquet_benchmarking_spark.session import get_spark
 
 
+def main_axis() -> None:
+    """The production growth axis (VERDICT r7 #5): candidate probes on
+    the axis-separation fixtures vs sf0.01 — linear expected."""
+    from gresearch_parquet_benchmarking_spark.sources.datagen import (
+        timespan_extended_events,
+        vocab_sharded_documents,
+    )
+
+    sf_small = "/root/testdata/sf0.01"
+    spark = get_spark()
+    fixtures = {
+        "interval_overlap_users": (
+            "timespan ×10, density const",
+            timespan_extended_events(sf_small, copies=10),
+        ),
+        "dedup_containment_bottomk": (
+            "+10 disjoint domains, density const",
+            vocab_sharded_documents(sf_small, shards=10),
+        ),
+    }
+    print("| op | axis | rows | candidate work | cand/rows |")
+    print("|---|---|---|---|---|")
+    for name, (axis, synth) in fixtures.items():
+        small = PROBES[name](spark, sf_small)
+        big = PROBES[name](spark, synth)
+        rg = big["rows"] / max(small["rows"], 1)
+        cg = big["candidates"] / max(small["candidates"], 1)
+        print(f"| {name} | {axis} | {rg:.1f}× | {cg:.1f}× | {cg / rg:.2f} |")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--axis":
+        main_axis()
+        return
     sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sf_big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark()
