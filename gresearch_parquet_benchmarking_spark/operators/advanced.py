@@ -157,18 +157,51 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, not row-based): all orders within
     5000 of the current price. Frame membership depends only on the
-    order value → deterministic under ties, unlike ROWS frames."""
-    od = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice").rangeBetween(-5000, W.currentRow)
+    order value → deterministic under ties, unlike ROWS frames.
+
+    Shape (r8, graduated off the global single-partition window): the
+    frame width is a plan constant, so the window is value-binned —
+    ``bin = floor(price / width)`` — and every row is additionally
+    replicated as CONTEXT into bin+1. An owned row's frame
+    [p − width, p] reaches at most one bin down (bin width == frame
+    width by construction, independent of data distribution — no
+    sampled range bounds to trust), so the bin-partitioned window over
+    own+context rows computes the EXACT global-window answer:
+    originals and their context copies live in different partitions
+    (never double-counted), peers at equal price share a bin, and a
+    boundary row's lower reach is covered by the previous bin's
+    replicas. Context rows are dropped from the output. Cost: 2× rows
+    through one hash exchange on `bin` — vs the whole fact table
+    through ONE task. Skew: a price hot-spot concentrates one bin;
+    the remedy is width tuning (documented), since salting would
+    split frame peers."""
+    width = 5000
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = F.floor(F.col("o_totalprice") / F.lit(float(width))).cast("long")
+    own = od.select(
+        "o_orderkey", "o_totalprice", b.alias("bin"), F.lit(False).alias("ctx")
+    )
+    ctx = od.select(
+        "o_orderkey", "o_totalprice", (b + 1).alias("bin"), F.lit(True).alias("ctx")
+    )
+    w = (
+        W.partitionBy("bin")
+        .orderBy("o_totalprice")
+        .rangeBetween(-width, W.currentRow)
+    )
     return (
-        od.select(
+        own.unionByName(ctx)
+        .select(
             "o_orderkey",
             "o_totalprice",
+            "ctx",
             F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
             F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double").alias(
                 "price_mass"
             ),
         )
+        .filter(~F.col("ctx"))
+        .select("o_orderkey", "o_totalprice", "n_similar_cheaper", "price_mass")
         .orderBy("o_orderkey")
     )
 

@@ -71,7 +71,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "sketch_quantile_histogram": "cumulative over ≤256 histogram bins",
     "tokenizer_vocab_coverage": "cumulative coverage over the vocabulary (vocab-sized)",
     "window_ntile_percent": "global ntile/percent_rank/cume_dist over the part DIMENSION — the requested SQL semantics",
-    "window_range_frame": "global value-ordered RANGE frame over orders — the RANGE-frame SQL surface op; at scale: difference of two range-partitioned prefix sums (pareto pattern)",
+    # window_range_frame graduated in r8: value-binned (bin =
+    # floor(price/width) + context replication into bin+1) — the
+    # bin-partitioned window is exact because frame width == bin width
 }
 
 
