@@ -351,8 +351,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("purch_ts_us") - F.col("click_ts_us")).alias("lag_us"),
     )
     # 4 state stores per partition for a stream-stream join — size the
-    # state partitioning for the harness (see _run_to_table docstring)
-    out = _run_to_table(joined, "append", state_partitions=8)
+    # state partitioning for the harness (see _run_to_table docstring).
+    # r8 interleaved A/B at sf0.1 (3 trials each, warm): 8 → 2.38 s,
+    # 4 → 1.93 s, 2 → 1.86 s median — per-partition store open/commit
+    # still dominates below 8; take 4 (2 buys 4% for half the state
+    # parallelism headroom). On a cluster the caller sizes to state
+    # volume instead.
+    out = _run_to_table(joined, "append", state_partitions=4)
     return out.orderBy("click_id", "purch_id")
 
 
