@@ -178,8 +178,12 @@ def timespan_extended_events(src_sf_dir: str, copies: int = 10) -> str:
     os.makedirs(out_dir, exist_ok=True)
     import pyarrow as pa
 
+    # write-then-rename: the exists() guard above must never trust a
+    # partially-written file from a crashed builder
+    tmp = out + ".tmp"
     pq.write_table(pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                        preserve_index=False), out)
+                                        preserve_index=False), tmp)
+    os.replace(tmp, out)
     return out_dir
 
 
@@ -214,6 +218,8 @@ def vocab_sharded_documents(src_sf_dir: str, shards: int = 10) -> str:
         )
         parts.append(d)
     os.makedirs(out_dir, exist_ok=True)
+    tmp = out + ".tmp"
     pq.write_table(pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                        preserve_index=False), out)
+                                        preserve_index=False), tmp)
+    os.replace(tmp, out)
     return out_dir
