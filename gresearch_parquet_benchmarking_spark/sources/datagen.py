@@ -223,3 +223,42 @@ def vocab_sharded_documents(src_sf_dir: str, shards: int = 10) -> str:
                                         preserve_index=False), tmp)
     os.replace(tmp, out)
     return out_dir
+
+
+def vocab_sharded_parts(src_sf_dir: str, shards: int = 10) -> str:
+    """Write (once) and return a table dir whose part.parquet is
+    ``shards`` disjoint-vocabulary copies of the source part table:
+    shard s prefixes every p_name word with ``s{s}_`` (the blocking
+    noun — the LAST name word — becomes shard-local) and offsets
+    p_partkey by s·1,000,000. The production axis for
+    fuzzy_join_part_names: new part families share no name nouns."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        _synth_cache_dir(),
+        f"synth_partshard_{shards}x_{os.path.basename(src_sf_dir.rstrip('/'))}",
+    )
+    out = os.path.join(out_dir, "part.parquet")
+    if os.path.exists(out):
+        return out_dir
+    import pandas as pd
+
+    df = pq.read_table(os.path.join(src_sf_dir, "part.parquet")).to_pandas()
+    parts = []
+    for s in range(shards):
+        d = df.copy()
+        d["p_partkey"] = d["p_partkey"] + s * 1_000_000
+        pre = f"s{s}_"
+        d["p_name"] = d["p_name"].map(
+            lambda t, pre=pre: " ".join(pre + w for w in t.split(" "))
+        )
+        parts.append(d)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                        preserve_index=False), tmp)
+    os.replace(tmp, out)
+    return out_dir

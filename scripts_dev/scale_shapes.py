@@ -26,6 +26,7 @@ def main_axis() -> None:
     from gresearch_parquet_benchmarking_spark.sources.datagen import (
         timespan_extended_events,
         vocab_sharded_documents,
+        vocab_sharded_parts,
     )
 
     sf_small = "/root/testdata/sf0.01"
@@ -38,6 +39,10 @@ def main_axis() -> None:
         "dedup_containment_bottomk": (
             "+10 disjoint domains, density const",
             vocab_sharded_documents(sf_small, shards=10),
+        ),
+        "fuzzy_join_part_names": (
+            "+10 part families, density const",
+            vocab_sharded_parts(sf_small, shards=10),
         ),
     }
     print("| op | axis | rows | candidate work | cand/rows |")

@@ -147,3 +147,21 @@ def test_containment_candidates_linear_in_corpus_extension(spark):
         f"pair-join work grew {cand_g:.1f}x for {rows_g:.1f}x disjoint-domain "
         f"corpus growth — candidate work is NOT linear along the production axis"
     )
+
+
+def test_fuzzy_join_candidates_linear_in_part_families(spark):
+    from gresearch_parquet_benchmarking_spark.plans.scale_probes import PROBES
+    from gresearch_parquet_benchmarking_spark.sources.datagen import (
+        vocab_sharded_parts,
+    )
+
+    synth = vocab_sharded_parts(SF_SMALL, shards=10)
+    small = PROBES["fuzzy_join_part_names"](spark, SF_SMALL)
+    big = PROBES["fuzzy_join_part_names"](spark, synth)
+    rows_g = big["rows"] / max(small["rows"], 1)
+    cand_g = big["candidates"] / max(small["candidates"], 1)
+    assert rows_g > 8, f"fixture did not extend the catalog ({rows_g:.1f}x)"
+    assert cand_g <= 1.3 * rows_g, (
+        f"block pairs grew {cand_g:.1f}x for {rows_g:.1f}x new-part-family "
+        f"growth — candidate work is NOT linear along the production axis"
+    )
