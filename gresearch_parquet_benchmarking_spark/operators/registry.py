@@ -65,68 +65,70 @@ def query(
 # — not Python import order, which any direct module import can perturb
 # — decides which queries get hard driver signal.
 #
-# Round 8 (VERDICT r7 "Next round" #2, rotation planned in CLAUDE.md
-# before the r7 window filled): the final 21 queries with ZERO
-# lifetime driver signal (analytics 12 + analytics2 9 — the r7 judge
-# independently verified all 21 green, so these slots are
-# confirmation, not discovery) head the window, followed by
-# relational's 29 r1-stale rows (green in CORRECTNESS_r01, unseen by
-# the driver for six rounds). 21 + 29 = exactly 50; after this round
-# every registered query has lifetime driver signal (237/237).
+# Round 9 (VERDICT r8 "Next round" #1, rotation planned in CLAUDE.md
+# before the r8 window filled): all 12 r3-stale + all 27 r4-stale +
+# the 11 riskiest r5-stale rows (iterative/approx/flagship ops first)
+# = exactly 50, per the staleness ledger (scripts_dev/staleness.py).
+# window_range_frame heads the window: it was REIMPLEMENTED in r8
+# (value-binned RANGE-frame graduation) with only local-gate cover,
+# so it carries the largest hard-signal gap. After this round no
+# registered query is staler than r5; r10 retires the remaining 37
+# r5-stale rows.
 _WINDOW_PRIORITY = [
-    # analytics — never driver-checked (zero lifetime signal)
-    "events_markov_transitions",
-    "orders_seasonality_trailing",
-    "basket_part_affinity",
-    "supplier_concentration_hhi",
-    "events_rfm_scores",
-    "events_power_user_concentration",
-    "event_funnel_latency",
-    "events_top_paths",
-    "events_inter_arrival_percentiles",
-    "events_peak_concurrency",
-    "events_value_twap_daily",
-    "event_attribution_linear",
-    # analytics2 — never driver-checked (zero lifetime signal)
-    "customer_order_streaks",
-    "orders_date_spine_fill",
-    "integrity_partition_checksums",
-    "snapshot_diff_orders",
-    "orders_abc_pareto",
-    "orders_cohort_ltv",
-    "supplier_otd_scorecard",
-    "events_stickiness_dau_wau",
-    "events_bot_screen",
-    # relational — r1-stale (last driver signal: CORRECTNESS_r01)
-    "join_full_outer",
-    "join_cross_small",
-    "window_rank_in_brand",
-    "window_running_total",
-    "window_lag_lead",
-    "window_moving_avg",
-    "topk_per_group",
-    "window_ntile_percent",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats_moments",
-    "agg_conditional",
-    "having_filter",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "sort_limit_viewer",
-    "multi_key_sort",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "case_when_recode",
-    "pivot_avg",
-    "unpivot_long",
-    "corr_matrix",
-    "subquery_above_avg",
-    "in_subquery",
-    "correlated_exists_agg",
+    # r4-stale but REIMPLEMENTED in r8 — highest-risk slot, goes first
+    "window_range_frame",
+    # r3-stale (12): tpch2 8 + advanced 4
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_promo_suppliers",
+    "sample_hash_based",
+    "agg_regression",
+    "window_first_last_nth",
+    "scalar_null_funcs",
+    # r4-stale (remaining 26): dedup 6 + advanced 8 + scale 1 + pipeline2 11
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash_signature",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sql_grouping_sets",
+    "agg_percentiles",
+    "regexp_funcs",
+    "array_ops",
+    "agg_sum_distinct",
+    "agg_min_max_dates",
+    "salted_hot_key_agg",
+    "agg_approx_sketches",
+    "layout_bucketed_join",
+    "text_bigram_counts",
+    "train_test_split_hash",
+    "quality_filter_funnel",
+    "doc_length_histogram",
+    "dup_rate_by_source",
+    "token_percentiles_by_lang",
+    "vocab_cooccurrence",
+    "text_char_entropy",
+    "events_daily_anomaly",
+    "unigram_logprob_score",
+    "dedup_survivorship_by_source",
+    # r5-stale (11 riskiest: iterative / approx / flagship first)
+    "interval_overlap_users",
+    "dedup_connected_components",
+    "sequence_packing",
+    "curriculum_buckets_approx",
+    "dedup_incremental",
+    "kmeans_train",
+    "ann_ivf_pq_topk",
+    "dedup_semantic",
+    "split_contamination_safe",
+    "embedding_pca_power_iteration",
+    "sketch_hll_rolling_users",
 ]
 assert len(_WINDOW_PRIORITY) == 50 and len(set(_WINDOW_PRIORITY)) == 50
 
@@ -191,15 +193,15 @@ def _ensure_loaded() -> None:
     # decided by _WINDOW_PRIORITY + _MODULE_ORDER, not import order —
     # imports here only trigger registration.)
     #
-    # Round-8 window (r7 VERDICT "Next round" #2): the final 21
-    # never-driver-checked queries (analytics 12 + analytics2 9) +
-    # relational's 29 r1-stale rows — closes lifetime driver coverage
-    # at 237/237. See _WINDOW_PRIORITY above for the exact list.
-    # r9 rotation plan (write before the window fills): tpch2's 8
-    # r3-stale rows first, then dedup/advanced/scale/pipeline2's
-    # r4-stale rows by staleness (oldest signal first), topped up
-    # from the r5-stale tail to reach 50. Update
-    # tests/test_registry_window.py when rotating.
+    # Round-9 window (r8 VERDICT "Next round" #1): all r3-stale (12) +
+    # all r4-stale (27, window_range_frame promoted to slot 0 as the
+    # r8-reimplemented row) + the 11 riskiest r5-stale. See
+    # _WINDOW_PRIORITY above for the exact list.
+    # r10 rotation plan (write before the window fills): the remaining
+    # 37 r5-stale rows (everything scripts_dev/staleness.py lists at
+    # r5 after the r9 artifact lands) + 13 of the then-oldest r6-stale
+    # rows, oldest signal first. Update tests/test_registry_window.py
+    # when rotating.
     # Everything outside the window stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401

@@ -1,5 +1,5 @@
 """Print the driver-signal staleness ledger: for every registered
-query, the latest round whose committed CORRECTNESS_r0*.json contains
+query, the latest round whose committed CORRECTNESS_r*.json contains
 it (the canonical computation — tests/test_registry_window.py pins the
 window against the same ledger). Use when rotating _WINDOW_PRIORITY:
 schedule never-checked first, then oldest-signal first.
@@ -12,6 +12,7 @@ from __future__ import annotations
 import collections
 import glob
 import json
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -21,8 +22,13 @@ from gresearch_parquet_benchmarking_spark.operators.registry import all_queries
 
 def main() -> None:
     last: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r0*.json")):
-        rnd = int(path.split("r0")[1].split(".")[0])
+    # Regex round parse so r10+ artifacts are counted (ADVICE r8: the
+    # old "r0*" glob + split("r0") silently ignored CORRECTNESS_r10+).
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         for q in json.load(open(path)):
             last[q] = max(last.get(q, 0), rnd)
     by_round: dict[int | None, list[str]] = collections.defaultdict(list)

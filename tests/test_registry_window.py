@@ -8,6 +8,7 @@ driver signal because of exactly such a reorder)."""
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 from gresearch_parquet_benchmarking_spark.operators.registry import (
@@ -18,19 +19,17 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-8 window (VERDICT r7 "Next round" #2, rotation planned in
-# CLAUDE.md during r7): the final 21 queries with zero lifetime driver
-# signal (analytics 12 + analytics2 9) followed by relational's 29
-# r1-stale rows. The canonical list lives in registry._WINDOW_PRIORITY;
-# these tests pin that the listing honors it AND that the composition
-# matches the staleness ledger in the committed CORRECTNESS artifacts.
+# Round-9 window (VERDICT r8 "Next round" #1, rotation planned in
+# CLAUDE.md during r8): all r3-stale (12) + all r4-stale (27, with the
+# r8-reimplemented window_range_frame promoted to slot 0) + the 11
+# riskiest r5-stale rows. The canonical list lives in
+# registry._WINDOW_PRIORITY; these tests pin that the listing honors it
+# AND that the composition matches the staleness ledger in the
+# committed CORRECTNESS artifacts.
 MUST_BE_IN_WINDOW = list(_WINDOW_PRIORITY)
-N_NEVER_CHECKED = 21  # window[:21] must have zero r1–r7 driver signal
-# window[21:] must be exactly the r1-stale set (green in r1, unseen
-# since)
 
 
-def test_round8_window_composition():
+def test_round9_window_composition():
     names = list(all_queries())
     window = names[:WINDOW]
     assert window == MUST_BE_IN_WINDOW, (
@@ -39,41 +38,51 @@ def test_round8_window_composition():
     )
 
 
-def _last_driver_signal() -> dict[str, int]:
-    """query -> latest round (1–7) whose committed CORRECTNESS artifact
-    contains it; absent = never driver-checked."""
+def _last_driver_signal(through_round: int) -> dict[str, int]:
+    """query -> latest round <= through_round whose committed
+    CORRECTNESS artifact contains it; absent = never driver-checked.
+    Regex round parse so r10+ artifacts are counted (ADVICE r8)."""
     repo = Path(__file__).resolve().parents[1]
     last: dict[str, int] = {}
-    for art in sorted(repo.glob("CORRECTNESS_r0[1-7].json")):
-        rnd = int(art.stem.split("r0")[1])
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", art.name)
+        if not m or int(m.group(1)) > through_round:
+            continue
+        rnd = int(m.group(1))
         for q in json.loads(art.read_text()):
             last[q] = max(last.get(q, 0), rnd)
     return last
 
 
-def test_round8_window_head_is_never_driver_checked():
-    """The first 21 slots must be spent on the queries with NO lifetime
-    driver CORRECTNESS signal — after this round that backlog is zero
-    and lifetime coverage reaches 237/237."""
-    last = _last_driver_signal()
+def test_round9_window_head_is_reimplemented_row():
+    """window_range_frame was reimplemented in r8 (value-binned RANGE
+    frame) with only local-gate cover — it must head the window."""
+    assert MUST_BE_IN_WINDOW[0] == "window_range_frame"
+
+
+def test_round9_window_is_the_stalest_cohort():
+    """Every window slot must go to a query whose last driver signal
+    (as of the committed r1–r8 artifacts) is r3, r4, or r5 — the three
+    stalest cohorts. No slot may be wasted on a fresher query."""
+    last = _last_driver_signal(through_round=8)
     if not last:  # artifacts absent in a bare checkout — nothing to pin
         return
-    wasted = [n for n in MUST_BE_IN_WINDOW[:N_NEVER_CHECKED] if n in last]
-    assert wasted == [], f"head slots wasted on driver-green queries: {wasted}"
+    fresh = [n for n in MUST_BE_IN_WINDOW if last.get(n, 0) not in (3, 4, 5)]
+    assert fresh == [], f"window slots wasted on non-r3/r4/r5-stale queries: {fresh}"
 
 
-def test_round8_window_tail_is_r1_stale():
-    """The remaining 29 slots must be spent on queries whose ONLY driver
-    signal is CORRECTNESS_r01 (the stalest cohort in the registry)."""
-    last = _last_driver_signal()
+def test_round9_window_covers_all_r3_and_r4_stale():
+    """The r3-stale and r4-stale cohorts must be retired COMPLETELY this
+    round — after r9 no registered query's last signal predates r5."""
+    last = _last_driver_signal(through_round=8)
     if not last:
         return
-    not_stale = [
-        n for n in MUST_BE_IN_WINDOW[N_NEVER_CHECKED:] if last.get(n) != 1
-    ]
-    assert not_stale == [], (
-        f"tail slots not drawn from the r1-stale cohort: {not_stale}"
+    registered = set(all_queries())
+    oldest = sorted(
+        n for n, r in last.items() if r in (3, 4) and n in registered
     )
+    missing = [n for n in oldest if n not in set(MUST_BE_IN_WINDOW)]
+    assert missing == [], f"r3/r4-stale queries left out of the window: {missing}"
 
 
 ROWS_ONLY_BY_DESIGN: set[str] = set()
