@@ -157,6 +157,35 @@ def probe_dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def probe_dedup_semantic(spark: SparkSession, sf_dir: str) -> dict:
+    """E-step assignment work of the FINAL Lloyd iteration under the
+    two-level rule (r9): each row scores the G coarse seeds plus the
+    fine centroids of its coarse cell, so candidates = N·G + Σ_rows
+    |cell(row)| ≈ N·2·sqrt(k) centroid dots — vs the flat rule's N·k,
+    which grows quadratically in N once k ∝ N (the r8 VERDICT's one
+    remaining 100×-scale liability)."""
+    from gresearch_parquet_benchmarking_spark.operators.similarity import (
+        _sem_clustering,
+    )
+
+    assigned, fcell, kval = _sem_clustering(spark, sf_dir)
+    g = int(kval.collect()[0]["gv"])
+    cellsize = fcell.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    cellof = fcell.select(F.col("c_label").alias("c_id"), "cell")
+    row = (
+        assigned.join(cellof, "c_id")
+        .join(cellsize, "cell")
+        .agg(
+            F.sum(F.col("n") + F.lit(g)).cast("long").alias("work"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()[0]
+    )
+    out = {"rows": int(row["n_rows"]), "candidates": int(row["work"])}
+    release_persists()
+    return out
+
+
 def probe_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> dict:
     from gresearch_parquet_benchmarking_spark.operators.retrieval import _blocked_parts
 
@@ -174,6 +203,7 @@ PROBES = {
     "graph_triangle_count": probe_graph_triangle_count,
     "text_bm25_search": probe_text_bm25_search,
     "dedup_containment_bottomk": probe_dedup_containment_bottomk,
+    "dedup_semantic": probe_dedup_semantic,
     "fuzzy_join_part_names": probe_fuzzy_join_part_names,
 }
 

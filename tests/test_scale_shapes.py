@@ -51,6 +51,10 @@ CAND_SLACK = {
     # pair-join work measured 11.15× for 10× rows — the r6 rule's
     # collision-quadratic 77.8× is gone (BENCH.md r8)
     "dedup_containment_bottomk": 3.0,
+    # two-level E-step (r9): work = N·(G + |cell|) ≈ N·2√k with k ∝ N
+    # — measured 8.4× for 4× rows (the flat rule's N·k would be 17.7×
+    # and FAIL this bound; the slack admits √-growth, not linear-in-k)
+    "dedup_semantic": 3.0,
     # density-quadratic by nature (see module docstring + BENCH.md);
     # bounded at rows_growth² × slack below
     "interval_overlap_users": None,
