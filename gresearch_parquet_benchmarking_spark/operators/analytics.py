@@ -928,10 +928,68 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# RFM segmentation (round 6)
+# RFM segmentation (round 6; r9: exact global ranks without a
+# SinglePartition window — the orders_abc_pareto two-pass pattern)
 # ---------------------------------------------------------------------------
 
 RFM_TILES = 4
+RANK_RANGES = 32  # rank-key range partitions; at 100 TB sized so each
+                  # range stays executor-sized — output is range-count-
+                  # invariant (offsets come from actual per-range counts)
+
+
+def _global_row_number(df, order_cols, alias="rn", ranges=RANK_RANGES):
+    """Exact global ROW_NUMBER() OVER (ORDER BY *order_cols) without an
+    Exchange SinglePartition (orders_abc_pareto r8 pattern):
+    `repartitionByRange` on the rank key makes ranges contiguous in
+    rank order, the row_number window runs per-range (widest partition
+    = |df|/ranges, never the whole frame), and the ≤ `ranges` per-range
+    counts are a bounded scalar probe embedded as plan-constant base
+    offsets. Returns (frame + `alias` long column + `rid`, total rows).
+
+    The persist is CORRECTNESS-critical, not a tune: repartitionByRange
+    samples its bounds, so the offset probe and the window must read
+    the SAME materialized range assignment. Determinism: integer
+    counts; callers must pass a TOTAL order (unique tiebreaker), so
+    range-bound placement cannot change any rank."""
+    ranged = track_persist(
+        df.repartitionByRange(ranges, *order_cols).withColumn(
+            "rid", F.spark_partition_id()
+        )
+    )
+    counts = sorted(
+        ranged.groupBy("rid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["rid"],
+    )
+    off: dict[int, int] = {}
+    running = 0
+    for r in counts:
+        off[r["rid"]] = running
+        running += r["c"]
+    off_map = F.create_map(
+        *[x for rid, o in off.items() for x in (F.lit(rid), F.lit(o).cast("long"))]
+    )
+    wloc = W.partitionBy("rid").orderBy(*order_cols)
+    rn = (F.element_at(off_map, F.col("rid")) + F.row_number().over(wloc)).cast(
+        "long"
+    )
+    return ranged.withColumn(alias, rn), running
+
+
+def _ntile_from_rank(rn, n_total: int, tiles: int):
+    """Exact NTILE(tiles) bucket from a 1-based global rank: the first
+    (n_total mod tiles) buckets hold q+1 = ceil(n_total/tiles) rows,
+    the rest hold q — the ANSI spread both Spark's and DuckDB's NTILE
+    implement, computed map-side from the rank (counts ≪ 2^52, so the
+    floor-division doubles are exact)."""
+    q, r = divmod(n_total, tiles)
+    if q == 0:  # fewer rows than tiles: every row is its own bucket
+        return rn.cast("long")
+    thresh = r * (q + 1)
+    return (
+        F.when(rn <= thresh, F.floor((rn + q) / (q + 1)))
+        .otherwise(r + F.floor((rn - thresh + q - 1) / q))
+    ).cast("long")
 
 
 @query(
@@ -977,21 +1035,31 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     most frequent, highest spend), then the user count and spend per
     (r, f, m) cell.
 
-    Scale shape: one user-keyed aggregate (map-side partials,
-    constant-width key) computes all three metrics in a single pass;
-    the reference timestamp is a broadcast 1-row aggregate. The three
-    exact NTILEs share one unpartitioned window sort — fine at segment
-    scale, and the documented 100 TB swap is the same one
-    curriculum_buckets_approx demonstrates for curriculum_deciles:
-    approx_percentile cutpoints + map-side bucket assignment, no
-    global sort. Recency is integer µs div; monetary goes through the
-    decimal accumulator at BOTH levels (per-user and per-cell) so no
-    double sum's order ever matters; NTILE ties break on user_id."""
+    Scale shape (r9, VERDICT r8 #3 — graduated off the global NTILE):
+    one user-keyed aggregate (map-side partials, constant-width key)
+    computes all three metrics in a single pass; the reference
+    timestamp is a broadcast 1-row aggregate. All three exact NTILEs
+    then share ONE two-pass ranking (the orders_abc_pareto pattern,
+    fused): the per-user frame is unioned 3× tagged (metric,
+    ascending-normalized key), range-partitioned on (metric, key,
+    user_id) so ranges are contiguous per metric, the ≤ 3×RANK_RANGES
+    per-(metric, rid) counts are one bounded scalar probe embedded as
+    plan-constant base offsets, the row_number window is PARTITIONED
+    by (metric, rid), and _ntile_from_rank recovers the bucket
+    map-side — no Exchange SinglePartition anywhere. Hash-identical
+    to the single-window NTILE by construction (exact ranks, identical
+    ANSI bucket spread). Recency is integer µs div; monetary goes
+    through the decimal accumulator at BOTH levels (per-user and
+    per-cell) so no double sum's order ever matters; NTILE ties break
+    on user_id."""
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_type", "value", "ts_us"
     )
     ref = ev.agg(F.max("ts_us").alias("ref_us"))
-    per_user = (
+    # persist: the rank chain below reads this frame twice per stage
+    # (repartitionByRange's sampling pass + the shuffle itself) — the
+    # fact collapse must not re-run per pass
+    per_user = track_persist(
         ev.crossJoin(F.broadcast(ref))
         .groupBy("user_id")
         .agg(
@@ -1012,21 +1080,70 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    scored = per_user.select(
+    # ONE range exchange ranks all three metrics: the union tags each
+    # per-user row with (metric, key) where key is ascending-normalized
+    # (recency DESC ≡ -recency ASC, longs exact in double < 2^52), so
+    # ranges are contiguous per metric under the composite sort and one
+    # bounded (metric, rid) count probe yields every base offset.
+    tagged = (
+        per_user.select(
+            "user_id",
+            "monetary",
+            F.lit("r").alias("metric"),
+            (-F.col("recency_days")).cast("double").alias("key"),
+        )
+        .unionAll(
+            per_user.select(
+                "user_id",
+                "monetary",
+                F.lit("f").alias("metric"),
+                F.col("frequency").cast("double").alias("key"),
+            )
+        )
+        .unionAll(
+            per_user.select(
+                "user_id",
+                "monetary",
+                F.lit("m").alias("metric"),
+                F.col("monetary").alias("key"),
+            )
+        )
+    )
+    ranged = track_persist(
+        tagged.repartitionByRange(
+            RANK_RANGES, F.asc("metric"), F.asc("key"), F.asc("user_id")
+        ).withColumn("rid", F.spark_partition_id())
+    )
+    counts = sorted(
+        ranged.groupBy("metric", "rid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect(),
+        key=lambda r: (r["metric"], r["rid"]),
+    )
+    off: dict[str, int] = {}
+    per_metric: dict[str, int] = {}
+    for r in counts:
+        off[f"{r['metric']}#{r['rid']}"] = per_metric.get(r["metric"], 0)
+        per_metric[r["metric"]] = per_metric.get(r["metric"], 0) + r["c"]
+    n_users = per_metric.get("r", 0)
+    off_map = F.create_map(
+        *[x for k, o in off.items() for x in (F.lit(k), F.lit(o).cast("long"))]
+    )
+    wloc = W.partitionBy("metric", "rid").orderBy(F.asc("key"), F.asc("user_id"))
+    rank = F.element_at(
+        off_map, F.concat(F.col("metric"), F.lit("#"), F.col("rid"))
+    ) + F.row_number().over(wloc)
+    scored_long = ranged.select(
         "user_id",
         "monetary",
-        F.ntile(RFM_TILES)
-        .over(W.orderBy(F.desc("recency_days"), F.asc("user_id")))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(RFM_TILES)
-        .over(W.orderBy(F.asc("frequency"), F.asc("user_id")))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(RFM_TILES)
-        .over(W.orderBy(F.asc("monetary"), F.asc("user_id")))
-        .cast("long")
-        .alias("m_score"),
+        "metric",
+        _ntile_from_rank(rank.cast("long"), n_users, RFM_TILES).alias("score"),
+    )
+    scored = scored_long.groupBy("user_id").agg(
+        F.max("monetary").alias("monetary"),
+        F.max(F.when(F.col("metric") == "r", F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("score"))).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1084,13 +1201,17 @@ def events_power_user_concentration(spark: SparkSession, sf_dir: str) -> DataFra
     downstream (and the first thing to check before sizing salting
     thresholds like interval_overlap_users').
 
-    Scale shape: one user-keyed count (map-side partials); the
-    percentile + max aggregate runs over |users| rows; the top-k
-    share needs one rank over the same |users|-row table — a global
-    sort of the AGGREGATE, never of the raw events. Output is one
-    row. Determinism: integer counts; quantile_cont ≙ F.percentile
-    (both linear interpolation on exact integers); ranking ties break
-    on user_id; shares are single double divisions."""
+    Scale shape (r9, VERDICT r8 #4 — graduated off the global
+    ROW_NUMBER): one user-keyed count (map-side partials); the
+    percentile + max aggregate runs over |users| rows; the top-k rank
+    over the same |users|-row table is the two-pass _global_row_number
+    (range-partitioned local windows + plan-constant base offsets — no
+    Exchange SinglePartition), hash-identical to the single-window
+    rank by construction. A global sort of the AGGREGATE, never of the
+    raw events; output is one row. Determinism: integer counts;
+    quantile_cont ≙ F.percentile (both linear interpolation on exact
+    integers); ranking ties break on user_id; shares are single double
+    divisions."""
     ev = load_events(spark, sf_dir).select("user_id")
     per_user = track_persist(
         ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1102,9 +1223,10 @@ def events_power_user_concentration(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("k_top"),
     )
-    ranked = per_user.select(
-        "n", F.row_number().over(W.orderBy(F.desc("n"), F.asc("user_id"))).alias("r")
+    ranked_rr, _n = _global_row_number(
+        per_user, [F.desc("n"), F.asc("user_id")], alias="r"
     )
+    ranked = ranked_rr.select("n", "r")
     top = (
         ranked.crossJoin(F.broadcast(tot.select("k_top")))
         .filter(F.col("r") <= F.col("k_top"))

@@ -45,7 +45,7 @@ _PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapIn
 # Spark plans it over a single partition. (Conservative: a sort key
 # that is a parenthesised expression escapes the regex — in executed
 # plans sort expressions are pre-projected into plain attributes, so
-# the 14 queries below are the complete set as of r8.)
+# the allowlist below is the complete set as of r9.)
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([^(),]*(?: ASC| DESC)")
 
 # The allowlist for unpartitioned windows, each with the cardinality
@@ -60,8 +60,6 @@ _UNPART_WINDOW = re.compile(r"windowspecdefinition\([^(),]*(?: ASC| DESC)")
 UNPARTITIONED_WINDOW_ALLOWED = {
     "bpe_top_merges": "rank over adjacent-symbol-pair counts (vocab²-bounded, top-k)",
     "drift_ks_doc_length": "ECDF steps over DISTINCT doc lengths (value-space-bounded)",
-    "events_power_user_concentration": "cumulative share over per-user aggregates (fact collapse; two-pass documented)",
-    "events_rfm_scores": "3× ntile over per-user RFM aggregates (fact collapse; approx-cutpoint alternative documented)",
     "events_top_paths": "top-k over per-path counts (4-symbol path space ≤ 64+prefixes)",
     "graph_link_prediction_ra": "final top-k over candidate-pair scores (hub-capped wedge output)",
     "graph_pagerank_bipartite": "final top-k over node scores (node-dimension-sized)",
@@ -74,6 +72,10 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # window_range_frame graduated in r8: value-binned (bin =
     # floor(price/width) + context replication into bin+1) — the
     # bin-partitioned window is exact because frame width == bin width
+    # events_rfm_scores + events_power_user_concentration graduated in
+    # r9: exact global ranks via _global_row_number (range-partitioned
+    # local windows + plan-constant base offsets), NTILE recovered
+    # map-side from the rank (_ntile_from_rank)
 }
 
 
