@@ -672,7 +672,8 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CLAUDE.md-sanctioned, like graph.py's convergence checks)
     embedded as plan-constant base offsets — no Exchange
     SinglePartition anywhere in the executed plan (pinned by
-    tests/test_plan_pins.py). The persist is CORRECTNESS-critical,
+    test_abc_pareto_no_single_partition_window in tests/test_plans.py).
+    The persist is CORRECTNESS-critical,
     not a tune: repartitionByRange samples its bounds, so the probe
     and the window must read the SAME materialized range assignment.
 

@@ -590,6 +590,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAIN_K = 24      # bottom-k sketch size (minima per doc)
 CONTAIN_REQ = 3     # shared bottom-k minima required for candidacy
+# m shared minima appear as C(m,2) posting pairs — the HAVING bound
+# derived once so retuning CONTAIN_REQ retunes both engines (ADVICE r8)
+CONTAIN_REQ_PAIRS = CONTAIN_REQ * (CONTAIN_REQ - 1) // 2
 CONTAIN_MIN = 0.8   # exact-containment acceptance threshold
 
 _SQL_CONTAIN_SKETCH = f"""
@@ -682,7 +685,7 @@ def _pair_postings(sk: DataFrame) -> DataFrame:
         FROM pj JOIN lens la ON la.doc_id = pj.doc_a
                 JOIN lens lb ON lb.doc_id = pj.doc_b
         WHERE cnt >= CASE WHEN LEAST({CONTAIN_REQ}, la.nh, lb.nh)
-                               >= {CONTAIN_REQ} THEN 3 ELSE 1 END
+                               >= {CONTAIN_REQ} THEN {CONTAIN_REQ_PAIRS} ELSE 1 END
     ),
     cand1 AS (
         SELECT LEAST(o.doc_id, p.doc_id) AS doc_a,
@@ -731,7 +734,8 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.0%→0.68% precision per decade of density): a pair is a candidate
     only with ≥ {CONTAIN_REQ} shared bottom-k minima, evaluated by
     joining (h1,h2) posting PAIRS — a pair sharing m minima collides
-    on C(m,2) posting pairs, so the HAVING bound C({CONTAIN_REQ},2)=3
+    on C(m,2) posting pairs, so the HAVING bound
+    C({CONTAIN_REQ},2)={CONTAIN_REQ_PAIRS} (derived, not hardcoded)
     expresses the rule without posting triples and the single-minimum
     collision noise never materialises even as join output. Docs with
     fewer than {CONTAIN_REQ} minima keep proportionally weaker bounds
@@ -775,7 +779,7 @@ def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("nh").alias("nh_b"))
     req = F.when(
         F.least(F.lit(CONTAIN_REQ), F.col("nh_a"), F.col("nh_b")) >= CONTAIN_REQ,
-        F.lit(3),
+        F.lit(CONTAIN_REQ_PAIRS),
     ).otherwise(F.lit(1))
     cand2 = (
         pj.join(la, "doc_a")

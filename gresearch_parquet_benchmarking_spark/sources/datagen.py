@@ -143,6 +143,18 @@ def _synth_cache_dir() -> str:
     return os.environ.get("ENGINE_BENCH_CACHE", "/tmp/engine_bench_cache")
 
 
+def _src_tag(src_file: str) -> str:
+    """Source-file fingerprint (size + mtime) folded into the fixture
+    dir name, so a testdata regeneration — which HAS changed physical
+    layouts across rounds (events ts: TIMESTAMP(NANOS) → timestamp[us])
+    — invalidates the cached synthetic fixture instead of silently
+    serving one built from the old tables (ADVICE r8)."""
+    import os
+
+    st = os.stat(src_file)
+    return f"{st.st_size}_{st.st_mtime_ns}"
+
+
 def timespan_extended_events(src_sf_dir: str, copies: int = 10) -> str:
     """Write (once) and return a table dir whose events.parquet is the
     source replicated ``copies``× along the time axis. Handles both
@@ -151,9 +163,11 @@ def timespan_extended_events(src_sf_dir: str, copies: int = 10) -> str:
 
     import pyarrow.parquet as pq
 
+    src = os.path.join(src_sf_dir, "events.parquet")
     out_dir = os.path.join(
         _synth_cache_dir(),
-        f"synth_timespan_{copies}x_{os.path.basename(src_sf_dir.rstrip('/'))}",
+        f"synth_timespan_{copies}x_{os.path.basename(src_sf_dir.rstrip('/'))}"
+        f"_{_src_tag(src)}",
     )
     out = os.path.join(out_dir, "events.parquet")
     if os.path.exists(out):
@@ -198,9 +212,11 @@ def vocab_sharded_documents(src_sf_dir: str, shards: int = 10) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    src = os.path.join(src_sf_dir, "documents.parquet")
     out_dir = os.path.join(
         _synth_cache_dir(),
-        f"synth_vocabshard_{shards}x_{os.path.basename(src_sf_dir.rstrip('/'))}",
+        f"synth_vocabshard_{shards}x_{os.path.basename(src_sf_dir.rstrip('/'))}"
+        f"_{_src_tag(src)}",
     )
     out = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(out):
@@ -237,9 +253,11 @@ def vocab_sharded_parts(src_sf_dir: str, shards: int = 10) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    src = os.path.join(src_sf_dir, "part.parquet")
     out_dir = os.path.join(
         _synth_cache_dir(),
-        f"synth_partshard_{shards}x_{os.path.basename(src_sf_dir.rstrip('/'))}",
+        f"synth_partshard_{shards}x_{os.path.basename(src_sf_dir.rstrip('/'))}"
+        f"_{_src_tag(src)}",
     )
     out = os.path.join(out_dir, "part.parquet")
     if os.path.exists(out):
