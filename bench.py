@@ -131,6 +131,8 @@ FULL_ONLY_QUERIES = [
     "drift_ks_doc_length",
     "drift_psi_doc_length",
     "dedup_containment_bottomk",
+    # r9 addition: audit row for the two-level E-step graduation
+    "dedup_semantic_agreement",
     "stream_psi_value_drift",
     "graph_kcore_bounded",
     "quality_filter_ablation",

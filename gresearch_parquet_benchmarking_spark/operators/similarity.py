@@ -926,15 +926,16 @@ _SEM_COS_RF = (
 _SQL_SEM_G = f"(SELECT CAST(CEIL(SQRT(CAST({_SQL_SEM_K} AS DOUBLE))) AS INT))"
 
 
-def _semantic_sql() -> str:
-    """DuckDB twin of the k-means-bucketed SemDeDup with the TWO-LEVEL
-    (IVF-style) assignment: the same unrolled Lloyd loop as
+def _sem_clustering_sql() -> str:
+    """Shared WITH-clause (vecs … assigned_{SEM_ITERS-1}) of the
+    two-level SemDeDup clustering: the same unrolled Lloyd loop as
     :func:`_kmeans_sql` (identical comparator and exact decimal
     centroid means), but each E-step assigns a row to its nearest of
     G = ceil(sqrt(k)) coarse seeds first, then argmaxes only over the
     fine centroids living in that coarse cell. k and G are computed
-    from the corpus size inside the query; the within-cluster near-dup
-    election is unchanged."""
+    from the corpus size inside the query. Composed by
+    :func:`_semantic_sql` (near-dup election) and
+    :func:`_sem_agreement_sql` (two-level vs flat-argmax audit)."""
     parts = [
         f"""
     WITH vecs AS (
@@ -996,8 +997,16 @@ def _semantic_sql() -> str:
         SELECT c_id, list(cx ORDER BY i) AS cv FROM dims_{it} GROUP BY c_id
     )"""
             )
-    parts.append(
-        f""",
+    return "".join(parts)
+
+
+def _semantic_sql() -> str:
+    """DuckDB twin of dedup_semantic: the shared two-level clustering
+    (:func:`_sem_clustering_sql`) + the within-cluster near-dup
+    election."""
+    return (
+        _sem_clustering_sql()
+        + f""",
     bucketed AS (
         SELECT vec_id, v, c_id AS bucket FROM assigned_{SEM_ITERS - 1}
     ),
@@ -1017,7 +1026,45 @@ def _semantic_sql() -> str:
     ORDER BY dropped
     """
     )
-    return "".join(parts)
+
+
+def _sem_agreement_sql() -> str:
+    """DuckDB twin of dedup_semantic_agreement: the shared clustering
+    CTEs + the flat argmax over the SAME final centroid table, then the
+    one-row agreement/regret summary. Cosines reuse the exact _KM_COS /
+    _SEM_COS_RF expression trees, so values are bit-identical to the
+    Spark side before the decimal-averaged rounding."""
+    last = SEM_ITERS - 1
+    return (
+        _sem_clustering_sql()
+        + f""",
+    flat AS (
+        SELECT vec_id, c_id AS flat_c, ccos AS flat_cos FROM (
+            SELECT a.vec_id, c.c_id, {_KM_COS} AS ccos,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_KM_COS} DESC, c.c_id) AS crank
+            FROM vecs a CROSS JOIN centroids_{last} c
+        ) WHERE crank = 1
+    ),
+    tl AS (
+        SELECT r.vec_id, r.c_id AS tl_c, {_SEM_COS_RF} AS tl_cos
+        FROM (SELECT vec_id, v, c_id FROM assigned_{last}) r
+        JOIN centroids_{last} f ON f.c_id = r.c_id
+    )
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN flat.flat_c = tl.tl_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           ROUND(CAST(SUM(CASE WHEN flat.flat_c = tl.tl_c THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS agree_rate,
+           ROUND(CAST(SUM(CAST(flat.flat_cos AS DECIMAL(27,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cos_flat,
+           ROUND(CAST(SUM(CAST(tl.tl_cos AS DECIMAL(27,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cos_two_level,
+           ROUND(CAST(SUM(CAST(flat.flat_cos - tl.tl_cos AS DECIMAL(27,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_regret
+    FROM flat JOIN tl ON flat.vec_id = tl.vec_id
+    """
+    )
 
 
 def _sem_clustering(
@@ -1191,6 +1238,56 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cos"),
         )
         .orderBy("dropped")
+    )
+
+
+@query("dedup_semantic_agreement", oracle=_sem_agreement_sql)
+def dedup_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the r9 two-level E-step graduation: for the FINAL
+    Lloyd iteration's centroid table, compare dedup_semantic's
+    two-level assignment (coarse seed → within-cell argmax) against
+    the flat argmax over ALL k fine centroids — the recall-table
+    pattern ann_ivf_recall applies to the IVF probe knob, applied to
+    the assignment rule itself. One summary row: agreement rate plus
+    the decimal-averaged chosen-centroid cosines under each rule and
+    the mean regret (flat minus two-level, ≥ 0 by optimality of the
+    flat argmax) — the number that tells an operator whether
+    G = ceil(sqrt(k)) coarse cells are enough for their corpus.
+
+    Scale shape: identical to dedup_semantic's E-step (map-side
+    against broadcast structures) plus one flat argmax pass kept for
+    the audit only — the audit is the one place the O(N·k) rule is
+    deliberately retained, to measure what the production rule gives
+    up. Cosines on both engines are the same IEEE trees; sums go
+    through decimal accumulators before the rounded doubles."""
+    assigned, fcell, _kval = _sem_clustering(spark, sf_dir)
+    cents_all = _centroid_array(fcell.select("c_label", "cv"))
+    joined = assigned.crossJoin(F.broadcast(cents_all))
+    flat_best = F.get(_nearest_centroids(1), 0)
+    chosen = F.get(
+        F.filter(F.col("cents"), lambda c: c["c_label"] == F.col("c_id")), 0
+    )
+    tl_cos = dot_product(F.col("v"), chosen["cv"]) / (
+        F.col("nv") * chosen["cnorm"]
+    )
+    per_row = joined.select(
+        (flat_best["c_label"] == F.col("c_id")).cast("long").alias("agree"),
+        flat_best["ccos"].alias("flat_cos"),
+        tl_cos.alias("tl_cos"),
+    )
+    from gresearch_parquet_benchmarking_spark.operators.registry import davg
+
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("agree").cast("long").alias("n_agree"),
+        F.round(F.sum("agree").cast("double") / F.count(F.lit(1)), 6).alias(
+            "agree_rate"
+        ),
+        F.round(davg("flat_cos", scale=12), 6).alias("avg_cos_flat"),
+        F.round(davg("tl_cos", scale=12), 6).alias("avg_cos_two_level"),
+        F.round(
+            davg(F.col("flat_cos") - F.col("tl_cos"), scale=12), 6
+        ).alias("avg_regret"),
     )
 
 
