@@ -1,0 +1,81 @@
+"""Unit pins for the r9 two-pass ranking helpers (analytics.py):
+_global_row_number must reproduce a single-window ROW_NUMBER exactly,
+and _ntile_from_rank must reproduce Spark's own NTILE bucket spread —
+including the n < tiles edge (every row its own bucket) and the
+uneven-remainder spread (larger buckets first)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from gresearch_parquet_benchmarking_spark.operators.analytics import (
+    _global_row_number,
+    _ntile_from_rank,
+)
+from gresearch_parquet_benchmarking_spark.operators.registry import (
+    release_persists,
+)
+
+
+def _frame(spark, n):
+    # keys with heavy ties (k) force the user-id tiebreak; id order is
+    # deliberately not insertion order
+    rows = [(i, (i * 7) % 5) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, k long")
+
+
+@pytest.mark.parametrize("n,tiles", [(3, 4), (7, 4), (10, 4), (101, 4), (64, 7)])
+def test_ntile_from_rank_matches_spark_ntile(spark, n, tiles):
+    df = _frame(spark, n)
+    try:
+        ranked, total = _global_row_number(
+            df, [F.asc("k"), F.asc("id")], alias="rn", ranges=8
+        )
+        assert total == n
+        ours = (
+            ranked.select(
+                "id", _ntile_from_rank(F.col("rn"), total, tiles).alias("b")
+            )
+            .toPandas()
+            .set_index("id")["b"]
+        )
+        ref = (
+            df.select(
+                "id",
+                F.ntile(tiles)
+                .over(W.orderBy(F.asc("k"), F.asc("id")))
+                .cast("long")
+                .alias("b"),
+            )
+            .toPandas()
+            .set_index("id")["b"]
+        )
+        assert ours.sort_index().tolist() == ref.sort_index().tolist()
+    finally:
+        release_persists()
+
+
+def test_global_row_number_matches_single_window(spark):
+    df = _frame(spark, 57)
+    try:
+        ranked, total = _global_row_number(
+            df, [F.desc("k"), F.asc("id")], alias="rn", ranges=8
+        )
+        assert total == 57
+        ours = ranked.select("id", "rn").toPandas().set_index("id")["rn"]
+        ref = (
+            df.select(
+                "id",
+                F.row_number()
+                .over(W.orderBy(F.desc("k"), F.asc("id")))
+                .cast("long")
+                .alias("rn"),
+            )
+            .toPandas()
+            .set_index("id")["rn"]
+        )
+        assert ours.sort_index().tolist() == ref.sort_index().tolist()
+    finally:
+        release_persists()
