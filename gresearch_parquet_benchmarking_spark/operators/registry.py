@@ -197,11 +197,12 @@ def _ensure_loaded() -> None:
     # all r4-stale (27, window_range_frame promoted to slot 0 as the
     # r8-reimplemented row) + the 11 riskiest r5-stale. See
     # _WINDOW_PRIORITY above for the exact list.
-    # r10 rotation plan (write before the window fills): the remaining
-    # 37 r5-stale rows (everything scripts_dev/staleness.py lists at
-    # r5 after the r9 artifact lands) + 13 of the then-oldest r6-stale
-    # rows, oldest signal first. Update tests/test_registry_window.py
-    # when rotating.
+    # r10 rotation plan (exact list in CLAUDE.md, written before the
+    # window fills): dedup_semantic_agreement (r9 addition, zero
+    # lifetime signal — slot 0) + all 37 remaining r5-stale rows +
+    # the 12 riskiest r6-stale (streaming pack first, then the
+    # persist-boundary-sensitive winnowing) = exactly 50. Update
+    # tests/test_registry_window.py when rotating.
     # Everything outside the window stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401
