@@ -810,7 +810,14 @@ def main() -> None:
         json.dump(payload, f, indent=1, sort_keys=True)
     compact = dict(payload)
     keep = [k for k in results if k in HEADLINE or k in COMPACT_IO_KEYS]
-    spill = [k for k in keep if k not in HEADLINE]  # trim io detail first
+    # Trim io detail first, in REVERSE COMPACT_IO_KEYS priority — the
+    # list is ordered BASELINE-grid comparables first, layout/join
+    # diagnostics last, so a long contention_suspects list evicts
+    # layout rows, never a BASELINE comparable like io_fullread_10000c
+    # (the r9 cold run dropped it by measurement order).
+    spill = sorted(
+        (k for k in keep if k not in HEADLINE), key=COMPACT_IO_KEYS.index
+    )
     compact["queries"] = {k: round(results[k], 4) for k in keep}
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > TAIL_BUDGET and spill:

@@ -1150,7 +1150,13 @@ def _sem_clustering(
             # lesson: broadcast subtrees race to populate an unbuilt
             # cache): persisting the updated centroid table measured
             # ~4.6 s vs ~3.9 s unpersisted at sf0.1 — while the flat
-            # one-level rule measured 7.9 s in the same harness.
+            # one-level rule measured 7.9 s in the same cold-corpus
+            # harness. In bench.py's warm-trial regime the extra
+            # broadcast-subtree jobs dominate instead and the row
+            # costs ~2.0-2.6 s vs flat's 0.98 — accepted as fixed
+            # overhead that amortizes at 100x; eager-persisted
+            # centroids (3.06 s) and a members broadcast-join
+            # (2.9 s) both measured slower (BENCH.md r9).
             centroids = (
                 dims.groupBy("c_id")
                 .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))

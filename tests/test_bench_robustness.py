@@ -119,7 +119,7 @@ def test_seed_history_loads_and_local_best_wins(tmp_path, monkeypatch):
     assert bench.HISTORY == {"x": 1.0, "y": 0.5}  # min of seed and local
 
 
-def _compact_line(results: dict) -> tuple[dict, str]:
+def _compact_line(results: dict, suspects: list | None = None) -> tuple[dict, str]:
     """Mirror of main()'s compact-line construction (kept in sync by
     test_compact_line_* below failing if the constants drift)."""
     import json
@@ -129,12 +129,15 @@ def _compact_line(results: dict) -> tuple[dict, str]:
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "sf": 0.1,
-        "contention_suspects": [],
+        "contention_suspects": suspects or [],
         "drift_vs_floor": 123.456,  # worst-case width
         "full": "bench_results/bench_full.json",
     }
     keep = [k for k in results if k in bench.HEADLINE or k in bench.COMPACT_IO_KEYS]
-    spill = [k for k in keep if k not in bench.HEADLINE]
+    spill = sorted(
+        (k for k in keep if k not in bench.HEADLINE),
+        key=bench.COMPACT_IO_KEYS.index,
+    )
     compact["queries"] = {k: round(results[k], 4) for k in keep}
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > bench.TAIL_BUDGET and spill:
@@ -153,6 +156,22 @@ def test_compact_line_fits_driver_tail_capture():
     assert len(line) <= bench.TAIL_BUDGET
     # headline queries survive any trimming
     assert all(k in compact["queries"] for k in bench.HEADLINE)
+
+
+def test_compact_line_spill_priority_under_long_suspect_list():
+    """A long contention_suspects list forces io-key eviction; the
+    eviction order must follow COMPACT_IO_KEYS priority (layout/join
+    diagnostics first), never a BASELINE comparable — the r9 cold run
+    evicted io_fullread_10000c by measurement order before this pin."""
+    results = {k: 123.4567 for k in bench.HEADLINE + bench.COMPACT_IO_KEYS}
+    suspects = [f"io_dec_contended_key_{i}" for i in range(6)]
+    compact, line = _compact_line(results, suspects)
+    assert len(line) <= bench.TAIL_BUDGET
+    dropped = [k for k in bench.COMPACT_IO_KEYS if k not in compact["queries"]]
+    assert dropped, "test needs a budget overflow to exercise the spill"
+    # evictions come strictly from the tail of COMPACT_IO_KEYS
+    assert dropped == bench.COMPACT_IO_KEYS[-len(dropped):]
+    assert "io_fullread_10000c" in compact["queries"]
 
 
 def test_drift_ratio_collection():
