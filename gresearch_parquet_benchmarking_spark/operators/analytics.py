@@ -992,6 +992,83 @@ def _ntile_from_rank(rn, n_total: int, tiles: int):
     ).cast("long")
 
 
+def _ntile_from_rank_col(rn, n, tiles: int):
+    """`_ntile_from_rank` with a per-GROUP total carried as a COLUMN
+    (the per-lang/per-type case where every group has its own n):
+    identical ANSI arithmetic, q/r derived in-row. All inputs are
+    counts ≪ 2^52, so each floor of an exact double division is the
+    same integer both engines' NTILE produces."""
+    q = F.floor(n / tiles).cast("long")
+    r = (n - q * F.lit(tiles)).cast("long")
+    thresh = r * (q + 1)
+    return (
+        F.when(q == F.lit(0), rn)
+        .when(rn <= thresh, F.floor((rn + q) / (q + 1)))
+        .otherwise(r + F.floor((rn - thresh + q - 1) / q))
+    ).cast("long")
+
+
+def _grouped_row_number(
+    df, group_cols, order_cols, alias="rn", n_alias=None, ranges=RANK_RANGES
+):
+    """Exact per-group ROW_NUMBER() OVER (PARTITION BY *group_cols
+    ORDER BY *order_cols) for LOW-CARDINALITY groups WITHOUT the
+    group-keyed window (which concentrates each group — corpus/|groups|
+    rows — onto one task): the generalization of _global_row_number
+    that events_rfm_scores fuses inline. One range exchange on
+    (group…, order…) makes ranges contiguous per group; the
+    ≤ |groups|·ranges per-(group, rid) counts are one bounded scalar
+    probe embedded as plan-constant offset/total maps; the row_number
+    window is partitioned by (group…, rid) — widest partition
+    |df|/ranges, never |df|/|groups|.
+
+    order_cols may be strings or Column sort expressions (F.desc(...)).
+    Callers must pass a TOTAL order within each group (unique
+    tiebreaker) and non-null group columns (map keys concat on a
+    separator; NULL would collide with the empty string). Returns the
+    persisted ranged frame + `alias` (long) [+ `n_alias` = per-group
+    total, long] — persist is CORRECTNESS-critical, exactly as in
+    _global_row_number (sampled range bounds must not re-run)."""
+    group_cols = list(group_cols)
+    order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
+    gkey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    ranged = track_persist(
+        df.repartitionByRange(
+            ranges, *[F.asc(c) for c in group_cols], *order_exprs
+        ).withColumn("rid", F.spark_partition_id())
+    )
+    counts = sorted(
+        ranged.groupBy(*group_cols, "rid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect(),
+        key=lambda r: (
+            tuple(str(r[c]) for c in group_cols),
+            r["rid"],
+        ),
+    )
+    off: dict[str, int] = {}
+    tot: dict[str, int] = {}
+    for r in counts:
+        k = "\x1f".join(str(r[c]) for c in group_cols)
+        off[f"{k}#{r['rid']}"] = tot.get(k, 0)
+        tot[k] = tot.get(k, 0) + r["c"]
+    off_map = F.create_map(
+        *[x for k, o in off.items() for x in (F.lit(k), F.lit(o).cast("long"))]
+    )
+    wloc = W.partitionBy(*group_cols, "rid").orderBy(*order_exprs)
+    rn = (
+        F.element_at(off_map, F.concat(gkey, F.lit("#"), F.col("rid")))
+        + F.row_number().over(wloc)
+    ).cast("long")
+    out = ranged.withColumn(alias, rn)
+    if n_alias is not None:
+        tot_map = F.create_map(
+            *[x for k, n in tot.items() for x in (F.lit(k), F.lit(n).cast("long"))]
+        )
+        out = out.withColumn(n_alias, F.element_at(tot_map, gkey))
+    return out
+
+
 @query(
     "events_rfm_scores",
     oracle=f"""
@@ -1492,11 +1569,13 @@ def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale shape: one per-user window (hash exchange on user_id, the
     partitioning every other per-user analytic here reuses) computes
-    gaps map-side; a second window ranks gaps within the tiny
-    event_type key, and one conditional aggregation picks the two
-    bracketing order statistics per quantile. The 100 TB path swaps
-    in approx_percentile, benchmarked not hash-gated (agg_percentiles
-    note).
+    gaps map-side; the per-type gap ranking then runs as a
+    _grouped_row_number two-pass (late r9) — event_type has a
+    HANDFUL of values, so the old PARTITION BY event_type window put
+    |gaps|/|types| ≈ corpus-scale rows on single tasks; the two-pass
+    range-partitions on (event_type, gap_us, event_id) instead, so
+    the widest task is |gaps|/ranges. One conditional aggregation
+    picks the two bracketing order statistics per quantile.
 
     Determinism: built-in percentile/quantile_cont interpolate in
     doubles whose ULP at µs magnitudes (~3e-5 at 1e11) exceeds any
@@ -1504,22 +1583,24 @@ def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     interpolated quantile is computed EXACTLY: pos = (n-1)·q%,
     r = pos mod 100, p = (v_lo·(100−r) + v_hi·r)/100 — a BIGINT
     numerator < 2^53, so the one double division is correctly
-    rounded and bit-identical on both engines."""
+    rounded and bit-identical on both engines. The event_id
+    tiebreaker makes the two-pass rank total-ordered; the oracle's
+    ROW_NUMBER breaks gap ties arbitrarily, but tied ranks hold THE
+    SAME gap value, so every value-at-rank the aggregation reads is
+    tie-order-invariant."""
     ev = load_events(spark, sf_dir).select("user_id", "event_type", "event_id", "ts_us")
     gap = F.col("ts_us") - F.lag("ts_us").over(
         W.partitionBy("user_id").orderBy("ts_us", "event_id")
     )
-    seq = ev.select("event_type", gap.alias("gap_us")).filter(
+    seq = ev.select("event_type", gap.alias("gap_us"), "event_id").filter(
         F.col("gap_us").isNotNull()
     )
-    g = seq.select(
-        "event_type",
-        "gap_us",
-        F.row_number()
-        .over(W.partitionBy("event_type").orderBy("gap_us"))
-        .cast("long")
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    g = _grouped_row_number(
+        seq,
+        ["event_type"],
+        [F.asc("gap_us"), F.asc("event_id")],
+        alias="rn",
+        n_alias="n",
     )
 
     def _lo_rn(q: int):  # 1-indexed rank of the lower bracketing value

@@ -988,10 +988,18 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     cand = scored.join(pairs, ["u", "v"], "left_anti")
+    # distributed top-K first (TakeOrdered — per-partition partial
+    # top-K, only K·partitions rows ever leave a task), THEN the rank
+    # window over the ≤K-row result: same total order, so row_number
+    # over the pre-limited frame equals the filtered global rank —
+    # hash-identical, and the single-partition window now sees a
+    # constant-bounded frame instead of the full candidate table
+    # (which grows ~n·cap² with the corpus).
     wr = W.orderBy(F.desc("ra_score"), F.asc("u"), F.asc("v"))
     return (
-        cand.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= RA_TOP_K)
+        cand.orderBy(F.desc("ra_score"), F.asc("u"), F.asc("v"))
+        .limit(RA_TOP_K)
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .select("u", "v", "n_common", F.round("ra_score", 9).alias("ra_score"), "rnk")
         .orderBy("rnk")
     )

@@ -388,15 +388,32 @@ def curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: rank documents within each language by a
     lexical-diversity score (distinct-token ratio) and cut into
     deciles — the shape a difficulty-ordered training schedule reads.
-    Exact NTILE sorts each language in one task; the 100 TB variant is
-    :func:`curriculum_buckets_approx` below (approx_percentile
-    cutpoints + map-side bucket assignment, no per-language sort)."""
+    Exact per-lang NTILE WITHOUT the lang-keyed window (late r9): lang
+    has ~a dozen values, so PARTITION BY lang sorted corpus/|langs|
+    rows on single tasks; the _grouped_row_number two-pass
+    range-partitions on (lang, score, doc_id) — widest task
+    |docs|/ranges — and _ntile_from_rank_col recovers the exact ANSI
+    bucket map-side from the rank and the per-lang total.
+    Hash-identical to the windowed NTILE by construction; the
+    approx-cutpoint variant (:func:`curriculum_buckets_approx` below)
+    remains the no-second-pass alternative."""
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        _grouped_row_number,
+        _ntile_from_rank_col,
+    )
+
     doc = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
     score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    w = W.partitionBy("lang").orderBy(F.asc("score"), F.asc("doc_id"))
-    d = doc.select("doc_id", "lang", "n_chars", score.alias("score")).withColumn(
-        "decile", F.ntile(10).over(w).cast("long")
+    ranked = _grouped_row_number(
+        doc.select("doc_id", "lang", "n_chars", score.alias("score")),
+        ["lang"],
+        [F.asc("score"), F.asc("doc_id")],
+        alias="rk",
+        n_alias="n_l",
+    )
+    d = ranked.withColumn(
+        "decile", _ntile_from_rank_col(F.col("rk"), F.col("n_l"), 10)
     )
     return (
         d.groupBy("lang", "decile")

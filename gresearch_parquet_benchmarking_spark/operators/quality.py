@@ -1118,14 +1118,20 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     query IS the empirical check.
 
     Scale shape: the corpus collapses to the word-count vocabulary
-    (map-side partials, Heaps-law sublinear size); the frequency
-    ranking and the 3-way sweep rollup run on that vocabulary table.
-    The sweep is a |V-candidates|-row broadcast cross join onto the
-    vocab — each vocab row is scored against all 3 cutoffs in one
-    pass, no re-scan per candidate.
+    (map-side partials, Heaps-law sublinear size); corpus totals come
+    from a plain aggregation of that table, and the frequency RANKING
+    only ever matters up to max(VOCAB_SWEEP) — rows ranked past the
+    largest cutoff contribute nothing to any hit sum — so the rank
+    window runs over a TakeOrdered top-max(VOCAB_SWEEP) frame
+    (constant-bounded, ≤{max(VOCAB_SWEEP)} rows), never the full
+    vocabulary (which grows with the corpus and was the r9 window
+    audit's weakest allowlist bound). The sweep is a
+    |V-candidates|-row broadcast cross join onto that top frame —
+    each row is scored against all 3 cutoffs in one pass.
 
-    Determinism: integer counts and ranks (cnt DESC, token tiebreak);
-    coverage is one double division of exact integers."""
+    Determinism: integer counts and ranks (cnt DESC, token tiebreak —
+    a total order, so the top-{max(VOCAB_SWEEP)} set and its ranks
+    are unique); coverage is one double division of exact integers."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens_col("text")).alias("token"))
@@ -1133,14 +1139,18 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = vocab.select(
+    # distributed top-K (TakeOrdered): only ranks ≤ max(VOCAB_SWEEP)
+    # can satisfy any cutoff, so ranking the full vocabulary is wasted
+    # work AND an unbounded single-partition window.
+    top = vocab.orderBy(F.desc("cnt"), F.asc("token")).limit(max(VOCAB_SWEEP))
+    ranked = top.select(
         "cnt",
         F.row_number()
         .over(W.orderBy(F.desc("cnt"), F.asc("token")))
         .alias("rnk"),
     )
     sweep = spark.createDataFrame([(v,) for v in VOCAB_SWEEP], ["v_size"])
-    tot = ranked.agg(
+    tot = vocab.agg(
         F.sum("cnt").cast("long").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_types"),
     )

@@ -375,18 +375,32 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pa = _t(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    return (
-        pa.select(
-            "p_brand",
-            "p_partkey",
-            "p_retailprice",
-            F.rank().over(w).cast("long").alias("price_rank"),
-            F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
-        )
-        .orderBy("p_brand", "price_rank")
+    """Per-brand price ranks WITHOUT the brand-keyed window (late r9):
+    p_brand has 25 fixed values, so PARTITION BY p_brand sorted
+    |part|/25 rows on single tasks while part grows linearly with SF.
+    The ORDER BY (p_retailprice DESC, p_partkey) is a TOTAL order
+    (p_partkey unique), so RANK == DENSE_RANK == ROW_NUMBER — the
+    oracle keeps the window-function SQL; the engine computes the
+    identical ranks via the _grouped_row_number two-pass (widest task
+    |part|/ranges)."""
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        _grouped_row_number,
     )
+
+    pa = _t(spark, sf_dir, "part")
+    ranked = _grouped_row_number(
+        pa.select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        alias="price_rank",
+    )
+    return ranked.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "price_rank",
+        F.col("price_rank").alias("price_dense_rank"),
+    ).orderBy("p_brand", "price_rank")
 
 
 @query(
@@ -515,18 +529,38 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pa = _t(spark, sf_dir, "part")
-    w = W.orderBy("p_size", "p_partkey")
-    return (
-        pa.select(
-            "p_partkey",
-            "p_size",
-            F.ntile(4).over(w).cast("long").alias("size_quartile"),
-            F.round(F.percent_rank().over(w).cast("double"), 6).alias("pr"),
-            F.cume_dist().over(w).cast("double").alias("cd"),
-        )
-        .orderBy("p_partkey")
+    """Global NTILE/PERCENT_RANK/CUME_DIST over part WITHOUT an
+    Exchange SinglePartition (the r9 two-pass pattern): the order key
+    (p_size, p_partkey) is a TOTAL order, so all three functions are
+    exact map-side arithmetic on the global row number —
+    NTILE via _ntile_from_rank (ANSI bucket spread), PERCENT_RANK =
+    (rn−1)/(n−1), CUME_DIST = rn/n (no ties ⇒ rank == row count ≤
+    current == rn). Both divisions take integers < 2^52, so the
+    doubles are the same correctly-rounded quotients DuckDB's window
+    functions produce — hash-identical to the windowed oracle. part
+    grows linearly with SF, so the retired single-partition window is
+    the plan that would not survive 100×."""
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        _global_row_number,
+        _ntile_from_rank,
     )
+
+    pa = _t(spark, sf_dir, "part")
+    ranked, n = _global_row_number(
+        pa.select("p_partkey", "p_size"), ["p_size", "p_partkey"], alias="rn"
+    )
+    pr = (
+        (F.col("rn") - 1).cast("double") / F.lit(float(n - 1))
+        if n > 1
+        else F.lit(0.0)
+    )
+    return ranked.select(
+        "p_partkey",
+        "p_size",
+        _ntile_from_rank(F.col("rn"), n, 4).alias("size_quartile"),
+        F.round(pr, 6).alias("pr"),
+        (F.col("rn").cast("double") / F.lit(float(n))).alias("cd"),
+    ).orderBy("p_partkey")
 
 
 # ---------------------------------------------------------------------------

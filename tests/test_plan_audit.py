@@ -2,9 +2,11 @@
 checked for the scale anti-patterns the per-operator pins can miss —
 an unconstrained CartesianProduct anywhere, a Python evaluator outside
 the one documented Python surface (the Arrow-batched multimodal
-decode), or an UNPARTITIONED window over a relation nobody bounded
-(r8 — the r7 judge ran this scan by hand; now it's mechanical). New
-queries get all three gates automatically just by registering."""
+decode), an UNPARTITIONED window over a relation nobody bounded
+(r8 — the r7 judge ran this scan by hand; now it's mechanical), or a
+window partitioned ONLY by constant-cardinality columns without a
+WindowGroupLimit (late r9 — the hidden SinglePartition × c). New
+queries get all four gates automatically just by registering."""
 
 from __future__ import annotations
 
@@ -61,14 +63,17 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "bpe_top_merges": "rank over adjacent-symbol-pair counts (vocab²-bounded, top-k)",
     "drift_ks_doc_length": "ECDF steps over DISTINCT doc lengths (value-space-bounded)",
     "events_top_paths": "top-k over per-path counts (4-symbol path space ≤ 64+prefixes)",
-    "graph_link_prediction_ra": "final top-k over candidate-pair scores (hub-capped wedge output)",
+    "graph_link_prediction_ra": "rank over the TakeOrdered top-K frame (≤RA_TOP_K rows; r9 graduation)",
     "graph_pagerank_bipartite": "final top-k over node scores (node-dimension-sized)",
     "orders_date_spine_fill": "gap-fill over the calendar spine (days)",
     "orders_seasonality_trailing": "trailing stats over monthly aggregates (months)",
     "sketch_kmv_setops": "rank over the k-minimum-values sketch (k-bounded)",
     "sketch_quantile_histogram": "cumulative over ≤256 histogram bins",
-    "tokenizer_vocab_coverage": "cumulative coverage over the vocabulary (vocab-sized)",
-    "window_ntile_percent": "global ntile/percent_rank/cume_dist over the part DIMENSION — the requested SQL semantics",
+    "tokenizer_vocab_coverage": "rank over the TakeOrdered top-max(VOCAB_SWEEP) frame (≤10k rows; r9 graduation)",
+    # window_ntile_percent graduated in r9: NTILE/PERCENT_RANK/
+    # CUME_DIST are exact map-side arithmetic on the two-pass
+    # _global_row_number rank (the order is total, so all three are
+    # pure functions of rn and the plan-constant n)
     # window_range_frame graduated in r8: value-binned (bin =
     # floor(price/width) + context replication into bin+1) — the
     # bin-partitioned window is exact because frame width == bin width
@@ -77,6 +82,71 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # local windows + plan-constant base offsets), NTILE recovered
     # map-side from the rank (_ntile_from_rank)
 }
+
+
+# --- low-cardinality window partitions (late r9) -------------------
+# A window PARTITIONED BY a constant-cardinality column is a hidden
+# Exchange SinglePartition × c: each partition holds |input|/c rows on
+# ONE task, and c does not grow with the data. Flag a window whose
+# partition columns are ALL in the known low-card set, unless the plan
+# carries a WindowGroupLimit (rank-filter queries shuffle only
+# K·partitions rows — sample_stratified_by_lang's documented shape) or
+# the query is allowlisted below with the bound that makes the
+# per-partition row count data-size-independent. The graduated
+# alternative is _grouped_row_number (analytics.py): windows
+# partitioned by (group, rid) pass automatically because rid is not
+# low-card.
+LOW_CARD_COLS = {
+    "lang",
+    "event_type",
+    "l_returnflag",
+    "l_linestatus",
+    "o_orderstatus",
+    "o_orderpriority",
+    "p_brand",
+    "c_mktsegment",
+    "cohort_day",
+    "cohort_mi",
+    "day_num",
+    "hr",
+    "day_offset",
+    "offset_m",
+    "bucket",
+    "decile",
+}
+
+LOW_CARD_WINDOW_ALLOWED = {
+    "cohort_retention": "day-0 lookup over the (cohort_day, day_offset) aggregate grid (≤ days × offsets rows)",
+    "curriculum_buckets_approx": "share over per-(lang, bucket) counts (≤ |langs| × N_BUCKETS rows)",
+    "events_daily_anomaly": "z-scores over the per-(type, day) daily rollup (types × days rows)",
+    "events_peak_concurrency": "two-pass hour-binned running sum: hour window over the 24-rows/day base grid; local window over one (day, hr) cell of boundary rows — arrival-rate-bounded per cell, bin can narrow",
+    "events_value_twap_daily": "lead() within one (event_type, day_num) cell — time-sliced, arrival-rate-bounded per cell",
+    "lineitem_weighted_median_price": "cumulative over per-(group, price) aggregate — bounded by the price DOMAIN, not row count (docstring)",
+    "orders_cohort_ltv": "cumulative over the per-(cohort_month, offset) aggregate grid (months² rows)",
+    "sequence_packing": "pass-1 cumulative over per-(lang, rid) RANGE TOTALS — corpus/RANGE_DOCS metadata rows (the two-pass design's own base-offset table); a multi-level scan is the recursion if that tier ever dominates",
+}
+
+
+def _window_partition_cols(plan: str) -> list[list[str]]:
+    """Partition-attribute names of every windowspecdefinition in an
+    executed-plan string. Attrs are pre-projected plain attributes in
+    executed plans; anything unparseable yields a name that matches no
+    LOW_CARD_COLS entry (conservative: never a false flag)."""
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i = m.end()
+        seg_end = len(plan)
+        stop_tok = ""
+        for tok in (" ASC", " DESC", "specifiedwindowframe"):
+            j = plan.find(tok, i)
+            if j != -1 and j < seg_end:
+                seg_end, stop_tok = j, tok
+        seg = plan[i:seg_end]
+        items = [s.strip() for s in seg.split(",") if s.strip()]
+        if stop_tok in (" ASC", " DESC") and items:
+            items = items[:-1]  # last item is the first SORT column
+        out.append([re.sub(r"#\d+.*$", "", it) for it in items])
+    return out
 
 
 @pytest.mark.parametrize(
@@ -98,6 +168,15 @@ def test_no_cartesian_no_stray_python(spark, name):
             f"{name}: unpartitioned window over an unbounded relation — "
             f"partition it, or allowlist it with a cardinality bound\n{plan}"
         )
+    if "WindowGroupLimit" not in plan:
+        for cols in _window_partition_cols(plan):
+            if cols and all(c in LOW_CARD_COLS for c in cols):
+                assert name in LOW_CARD_WINDOW_ALLOWED, (
+                    f"{name}: window partitioned only by low-cardinality "
+                    f"column(s) {cols} — |input|/c rows per task at any "
+                    f"scale. Use _grouped_row_number, or allowlist with "
+                    f"the bound that caps the per-partition row count\n{plan}"
+                )
 
 
 # The sanctioned streaming Python surface: the three custom stateful
