@@ -223,3 +223,12 @@ def test_streaming_no_cartesian_no_stray_python(spark, name):
             assert name in STREAM_PYTHON_ALLOWED, (
                 f"{name}: Python evaluator in streaming plan\n{plan}"
             )
+        # same low-card window gate as batch (no streaming query uses
+        # one today — this keeps it that way)
+        if "WindowGroupLimit" not in plan:
+            for cols in _window_partition_cols(plan):
+                if cols and all(c in LOW_CARD_COLS for c in cols):
+                    pytest.fail(
+                        f"{name}: streaming window partitioned only by "
+                        f"low-cardinality column(s) {cols}\n{plan}"
+                    )
