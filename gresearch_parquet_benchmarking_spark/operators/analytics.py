@@ -938,24 +938,38 @@ RANK_RANGES = 32  # rank-key range partitions; at 100 TB sized so each
                   # invariant (offsets come from actual per-range counts)
 
 
+_MID_LOW33 = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits
+# are the record number within the partition, the rest the partition id
+# (bounds the pattern at 8.5e9 rows per range — size `ranges` for that)
+
+
 def _global_row_number(df, order_cols, alias="rn", ranges=RANK_RANGES):
     """Exact global ROW_NUMBER() OVER (ORDER BY *order_cols) without an
-    Exchange SinglePartition (orders_abc_pareto r8 pattern):
-    `repartitionByRange` on the rank key makes ranges contiguous in
-    rank order, the row_number window runs per-range (widest partition
-    = |df|/ranges, never the whole frame), and the ≤ `ranges` per-range
-    counts are a bounded scalar probe embedded as plan-constant base
-    offsets. Returns (frame + `alias` long column + `rid`, total rows).
+    Exchange SinglePartition (orders_abc_pareto r8 pattern, late-r9
+    shape): `repartitionByRange` on the rank key makes ranges
+    contiguous in rank order, `sortWithinPartitions` fixes the row
+    order INSIDE the persist, and `monotonically_increasing_id` then
+    reads off (rid = high bits, 1-based local row number = low 33 bits
+    + 1) as a pure narrow projection — no per-range window and no
+    second corpus exchange (the r8–r9 window-by-rid shape paid a full
+    hashpartitioning(rid) re-shuffle of the ALREADY-clustered cache,
+    because Catalyst cannot map range partitioning to a
+    spark_partition_id clustering). The ≤ `ranges` per-range counts
+    are a bounded scalar probe embedded as plan-constant base offsets.
+    Returns (frame + `alias` long column + `rid`, total rows).
 
     The persist is CORRECTNESS-critical, not a tune: repartitionByRange
-    samples its bounds, so the offset probe and the window must read
-    the SAME materialized range assignment. Determinism: integer
-    counts; callers must pass a TOTAL order (unique tiebreaker), so
+    samples its bounds and monotonically_increasing_id freezes the
+    physical row order, so the offset probe and every consumer must
+    read the SAME materialization. Determinism: integer counts;
+    callers must pass a TOTAL order (unique tiebreaker), so
     range-bound placement cannot change any rank."""
+    order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     ranged = track_persist(
-        df.repartitionByRange(ranges, *order_cols).withColumn(
-            "rid", F.spark_partition_id()
-        )
+        df.repartitionByRange(ranges, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("rid", F.shiftright(F.col("_mid"), 33).cast("int"))
     )
     counts = sorted(
         ranged.groupBy("rid").agg(F.count(F.lit(1)).alias("c")).collect(),
@@ -969,11 +983,12 @@ def _global_row_number(df, order_cols, alias="rn", ranges=RANK_RANGES):
     off_map = F.create_map(
         *[x for rid, o in off.items() for x in (F.lit(rid), F.lit(o).cast("long"))]
     )
-    wloc = W.partitionBy("rid").orderBy(*order_cols)
-    rn = (F.element_at(off_map, F.col("rid")) + F.row_number().over(wloc)).cast(
-        "long"
-    )
-    return ranged.withColumn(alias, rn), running
+    rn = (
+        F.element_at(off_map, F.col("rid"))
+        + F.col("_mid").bitwiseAND(F.lit(_MID_LOW33))
+        + 1
+    ).cast("long")
+    return ranged.withColumn(alias, rn).drop("_mid"), running
 
 
 def _ntile_from_rank(rn, n_total: int, tiles: int):
@@ -1028,14 +1043,24 @@ def _grouped_row_number(
     separator; NULL would collide with the empty string). Returns the
     persisted ranged frame + `alias` (long) [+ `n_alias` = per-group
     total, long] — persist is CORRECTNESS-critical, exactly as in
-    _global_row_number (sampled range bounds must not re-run)."""
+    _global_row_number (sampled range bounds and the frozen physical
+    row order must not re-run).
+
+    Late-r9 shape (shared with _global_row_number): rows inside a
+    range are sorted by (group…, order…), so a group's rows are a
+    CONTIGUOUS run and monotonically_increasing_id's low 33 bits give
+    the in-partition position; the probe folds the group's global
+    offset AND minus-the-run-start into ONE plan-constant map value,
+    making the per-group rank a pure narrow projection — no window,
+    no second corpus exchange."""
     group_cols = list(group_cols)
     order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
     gkey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
     ranged = track_persist(
-        df.repartitionByRange(
-            ranges, *[F.asc(c) for c in group_cols], *order_exprs
-        ).withColumn("rid", F.spark_partition_id())
+        df.repartitionByRange(ranges, *[F.asc(c) for c in group_cols], *order_exprs)
+        .sortWithinPartitions(*[F.asc(c) for c in group_cols], *order_exprs)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("rid", F.shiftright(F.col("_mid"), 33).cast("int"))
     )
     counts = sorted(
         ranged.groupBy(*group_cols, "rid")
@@ -1046,21 +1071,43 @@ def _grouped_row_number(
             r["rid"],
         ),
     )
-    off: dict[str, int] = {}
+    # adj[g#rid] = (global rank offset of g's rows in rid) − (0-based
+    # start of g's contiguous run within rid); rank = adj + local pos.
+    # Runs are contiguous because the partition sort leads with the
+    # group columns, so run starts are prefix sums of the SAME probe
+    # rows re-grouped by rid.
     tot: dict[str, int] = {}
+    goff: dict[tuple, int] = {}
     for r in counts:
         k = "\x1f".join(str(r[c]) for c in group_cols)
-        off[f"{k}#{r['rid']}"] = tot.get(k, 0)
+        goff[(k, r["rid"])] = tot.get(k, 0)
         tot[k] = tot.get(k, 0) + r["c"]
-    off_map = F.create_map(
-        *[x for k, o in off.items() for x in (F.lit(k), F.lit(o).cast("long"))]
+    run_start: dict[tuple, int] = {}
+    by_rid: dict[int, int] = {}
+    # NATIVE-value sort: must reproduce Spark's ASC order of the group
+    # columns within a partition (str() would misorder numeric groups)
+    for r in sorted(
+        counts, key=lambda r: (r["rid"], tuple(r[c] for c in group_cols))
+    ):
+        k = "\x1f".join(str(r[c]) for c in group_cols)
+        run_start[(k, r["rid"])] = by_rid.get(r["rid"], 0)
+        by_rid[r["rid"]] = by_rid.get(r["rid"], 0) + r["c"]
+    adj_map = F.create_map(
+        *[
+            x
+            for (k, rid), o in goff.items()
+            for x in (
+                F.lit(f"{k}#{rid}"),
+                F.lit(o - run_start[(k, rid)]).cast("long"),
+            )
+        ]
     )
-    wloc = W.partitionBy(*group_cols, "rid").orderBy(*order_exprs)
     rn = (
-        F.element_at(off_map, F.concat(gkey, F.lit("#"), F.col("rid")))
-        + F.row_number().over(wloc)
+        F.element_at(adj_map, F.concat(gkey, F.lit("#"), F.col("rid")))
+        + F.col("_mid").bitwiseAND(F.lit(_MID_LOW33))
+        + 1
     ).cast("long")
-    out = ranged.withColumn(alias, rn)
+    out = ranged.withColumn(alias, rn).drop("_mid")
     if n_alias is not None:
         tot_map = F.create_map(
             *[x for k, n in tot.items() for x in (F.lit(k), F.lit(n).cast("long"))]
@@ -1116,14 +1163,16 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-keyed aggregate (map-side partials, constant-width key)
     computes all three metrics in a single pass; the reference
     timestamp is a broadcast 1-row aggregate. All three exact NTILEs
-    then share ONE two-pass ranking (the orders_abc_pareto pattern,
-    fused): the per-user frame is unioned 3× tagged (metric,
-    ascending-normalized key), range-partitioned on (metric, key,
-    user_id) so ranges are contiguous per metric, the ≤ 3×RANK_RANGES
-    per-(metric, rid) counts are one bounded scalar probe embedded as
-    plan-constant base offsets, the row_number window is PARTITIONED
-    by (metric, rid), and _ntile_from_rank recovers the bucket
-    map-side — no Exchange SinglePartition anywhere. Hash-identical
+    then share ONE two-pass ranking (late r9: _grouped_row_number with
+    metric as the group): the per-user frame is unioned 3× tagged
+    (metric, ascending-normalized key), range-partitioned on (metric,
+    key, user_id) so ranges are contiguous per metric, the ≤
+    3×RANK_RANGES per-(metric, rid) counts are one bounded scalar
+    probe embedded as a plan-constant adjustment map, and the rank is
+    a pure NARROW projection off monotonically_increasing_id (no
+    window, no second exchange of the 3×|users| union);
+    _ntile_from_rank_col recovers the bucket map-side — no Exchange
+    SinglePartition anywhere. Hash-identical
     to the single-window NTILE by construction (exact ranks, identical
     ANSI bucket spread). Recency is integer µs div; monetary goes
     through the decimal accumulator at BOTH levels (per-user and
@@ -1186,35 +1235,18 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    ranged = track_persist(
-        tagged.repartitionByRange(
-            RANK_RANGES, F.asc("metric"), F.asc("key"), F.asc("user_id")
-        ).withColumn("rid", F.spark_partition_id())
+    ranked = _grouped_row_number(
+        tagged,
+        ["metric"],
+        [F.asc("key"), F.asc("user_id")],
+        alias="rank",
+        n_alias="n_m",
     )
-    counts = sorted(
-        ranged.groupBy("metric", "rid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect(),
-        key=lambda r: (r["metric"], r["rid"]),
-    )
-    off: dict[str, int] = {}
-    per_metric: dict[str, int] = {}
-    for r in counts:
-        off[f"{r['metric']}#{r['rid']}"] = per_metric.get(r["metric"], 0)
-        per_metric[r["metric"]] = per_metric.get(r["metric"], 0) + r["c"]
-    n_users = per_metric.get("r", 0)
-    off_map = F.create_map(
-        *[x for k, o in off.items() for x in (F.lit(k), F.lit(o).cast("long"))]
-    )
-    wloc = W.partitionBy("metric", "rid").orderBy(F.asc("key"), F.asc("user_id"))
-    rank = F.element_at(
-        off_map, F.concat(F.col("metric"), F.lit("#"), F.col("rid"))
-    ) + F.row_number().over(wloc)
-    scored_long = ranged.select(
+    scored_long = ranked.select(
         "user_id",
         "monetary",
         "metric",
-        _ntile_from_rank(rank.cast("long"), n_users, RFM_TILES).alias("score"),
+        _ntile_from_rank_col(F.col("rank"), F.col("n_m"), RFM_TILES).alias("score"),
     )
     scored = scored_long.groupBy("user_id").agg(
         F.max("monetary").alias("monetary"),

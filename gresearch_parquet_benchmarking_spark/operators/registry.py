@@ -199,10 +199,10 @@ def _ensure_loaded() -> None:
     # _WINDOW_PRIORITY above for the exact list.
     # r10 rotation plan (exact list in CLAUDE.md, written before the
     # window fills): dedup_semantic_agreement (r9 addition, zero
-    # lifetime signal — slot 0) + the 6 late-r9 hash-identical
-    # reimplementations (window_range_frame precedent) + all 37
-    # remaining r5-stale rows + the 6 riskiest r6-stale (streaming
-    # pack) = exactly 50. Update tests/test_registry_window.py when
+    # lifetime signal — slot 0) + the 8 r9 reimplementations not in
+    # the r9 window (window_range_frame precedent) + all 37 remaining
+    # r5-stale rows + the 4 riskiest r6-stale (streaming pack)
+    # = exactly 50. Update tests/test_registry_window.py when
     # rotating.
     # Everything outside the window stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).
