@@ -181,7 +181,15 @@ FULL_ONLY_QUERIES = [
 # layout-evidence diagnostics, not comparable workload rows — the
 # 1-row-group pageread row would otherwise silently inflate the
 # round-over-round metric; ADVICE r5 #2).
-FULL_ONLY_PREFIXES = ("io_pageread_task_1rg_", "io_schemaplan_", "io_pointlookup_")
+FULL_ONLY_PREFIXES = (
+    "io_pageread_task_1rg_",
+    "io_schemaplan_",
+    "io_pointlookup_",
+    # r10: JVM-free host-class twin for the widest scan — evidence row,
+    # not a workload row; excluding it keeps `value` comparable across
+    # rounds
+    "io_fullread_arrow_10000c",
+)
 
 # io/scale rows the printed one-liner retains (the BASELINE.md
 # comparison grid); everything else still lands in
@@ -191,6 +199,7 @@ COMPACT_IO_KEYS = [
     "io_meta_100kr_1000c",
     "io_fullread_10c", "io_fullread_task_10c",
     "io_fullread_1000c", "io_fullread_arrow_1000c", "io_fullread_10000c",
+    "io_fullread_arrow_10000c",
     "io_halfread_1000c", "io_halfread_arrow_1000c",
     "io_pageread_1000c", "io_pageread_arrow_1000c", "io_pageread_task_1000c",
     "io_enc_none_1000c", "io_enc_snappy_1000c", "io_enc_gzip_1000c",
@@ -270,6 +279,59 @@ def _save_history() -> None:
             json.dump(HISTORY, f, indent=0, sort_keys=True)
     except OSError:
         pass
+
+
+def host_index() -> dict[str, float]:
+    """Pure-Python/numpy host-speed micro-index, recorded in every
+    artifact so cross-round deltas can be normalized by HOST CLASS as
+    a number instead of a narrative (r9 and r10 both measured a
+    uniform ~1.5× drift_vs_floor with EMPTY suspects — the slow-host
+    signature — but had nothing quantitative to compare hosts with).
+    Components (each min-of-3, JVM-free, run BEFORE Spark starts):
+
+      py — single-core interpreter loop (clock + IPC; 0.4-0.6 s on a
+           fast core, ~1.6 s on the r10 host)
+      mm — numpy 1200² matmul (SIMD + memory bandwidth)
+      io — cached re-read of a 64 MB scratch file (page-cache/VFS)
+
+    Read a round's ratios vs another round's as the host-class factor;
+    queries drifting uniformly by ≈ that factor are host tax, not
+    regressions."""
+    import numpy as np
+
+    def _loop() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i
+        return time.perf_counter() - t0
+
+    a = np.random.default_rng(0).random((1200, 1200))
+
+    def _mm() -> float:
+        t0 = time.perf_counter()
+        _ = a @ a
+        return time.perf_counter() - t0
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    p = os.path.join(CACHE_DIR, "host_io_scratch.bin")
+    if not os.path.exists(p) or os.path.getsize(p) != (64 << 20):
+        with open(p, "wb") as f:
+            f.write(os.urandom(64 << 20))
+
+    def _read() -> float:
+        t0 = time.perf_counter()
+        with open(p, "rb") as f:
+            while f.read(1 << 20):
+                pass
+        return time.perf_counter() - t0
+
+    _mm(), _read()  # warm BLAS threads + page cache
+    return {
+        "py": round(min(_loop() for _ in range(3)), 3),
+        "mm": round(min(_mm() for _ in range(3)), 3),
+        "io": round(min(_read() for _ in range(3)), 3),
+    }
 
 
 def med(fn, trials=TRIALS, warmups=WARMUPS) -> float:
@@ -694,6 +756,15 @@ def bench_scale(spark, sf_dir: str) -> dict[str, float]:
         # row claims.
         measured(out, "io_fullread_10000c",
                  lambda: eio.read_full_timed(spark, path), trials=7, warmups=2)
+        # JVM-free twin on the SAME file (r10): pure-pyarrow decode.
+        # This key has been the hardest to adjudicate across rounds
+        # (r7 flagged, r8 proved environmental, r9/r10 re-flagged on
+        # slow hosts) — a frozen-code twin that moves with it proves
+        # host class; a twin that doesn't proves a Spark-side
+        # regression.
+        import pyarrow.parquet as _pq
+        measured(out, "io_fullread_arrow_10000c",
+                 lambda: _arrow_read(_pq, path), trials=5, warmups=1)
     finally:
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev_batch)
 
@@ -749,6 +820,7 @@ def _arrow_read(pq, path: str, columns=None) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    host = host_index()  # before the JVM exists — must measure the bare host
     # UI on (random port): the io_*_task_* entries read per-stage
     # executorRunTime from the UI REST API to split the ~130 ms
     # driver/scheduler floor out of small-file read timings.
@@ -795,16 +867,28 @@ def main() -> None:
         "drift_vs_floor": (
             round(statistics.median(DRIFT_RATIOS), 3) if DRIFT_RATIOS else None
         ),
-        "full": "bench_results/bench_full.json",
+        # JVM-free host-class micro-index (host_index docstring): ratio
+        # a round's values against another round's to separate host tax
+        # from code regressions numerically
+        "host": host,
+        "full": "bench_results/bench_full_latest.json",
     }
     # The driver records only the LAST ~2000 bytes of stdout and
     # json-parses them; every prior round's full-detail line overflowed
     # that window (BENCH_r01..r03 all have parsed=null, tail cut
-    # mid-line). So: full detail goes to a committed file, and the
-    # printed line keeps the headline queries plus the io rows that
-    # BASELINE.md compares, trimmed under the capture window.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_results", "bench_full.json"
+    # mid-line). So: full detail goes to a file, and the printed line
+    # keeps the headline queries plus the io rows that BASELINE.md
+    # compares, trimmed under the capture window.
+    #
+    # Provenance (VERDICT r9 #4): the default detail path is GITIGNORED
+    # so a driver-initiated run can never dirty the committed final-SHA
+    # artifact. Promoting a run to bench_results/bench_full.json (the
+    # committed artifact BENCH.md narrates) is a deliberate copy, not a
+    # side effect. Override with ENGINE_BENCH_FULL_PATH.
+    full_path = os.environ.get("ENGINE_BENCH_FULL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_results",
+        "bench_full_latest.json",
     )
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

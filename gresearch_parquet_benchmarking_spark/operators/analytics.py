@@ -938,6 +938,9 @@ RANK_RANGES = 32  # rank-key range partitions; at 100 TB sized so each
                   # invariant (offsets come from actual per-range counts)
 
 
+_GSEP = "\x1f"  # group-key separator for _grouped_row_number map keys;
+# values containing it are rejected at the probe (key collision)
+
 _MID_LOW33 = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits
 # are the record number within the partition, the rest the partition id
 # (bounds the pattern at 8.5e9 rows per range — size `ranges` for that)
@@ -1039,10 +1042,16 @@ def _grouped_row_number(
 
     order_cols may be strings or Column sort expressions (F.desc(...)).
     Callers must pass a TOTAL order within each group (unique
-    tiebreaker) and non-null group columns (map keys concat on a
-    separator; NULL would collide with the empty string). Returns the
-    persisted ranged frame + `alias` (long) [+ `n_alias` = per-group
-    total, long] — persist is CORRECTNESS-critical, exactly as in
+    tiebreaker). Group-key encoding (r9 ADVICE hardening): the map
+    keys are the SPARK-side string cast of the group columns
+    (`_gkey`), taken from the probe rows themselves — never Python
+    str() — so types whose Python repr diverges from Spark's cast
+    (booleans 'True' vs 'true', doubles, timestamps) are safe by
+    construction. NULL group values and values containing the \\x1f
+    key separator are REJECTED with a loud ValueError at the probe
+    (both would silently corrupt map keys). Returns the persisted
+    ranged frame + `alias` (long) [+ `n_alias` = per-group total,
+    long] — persist is CORRECTNESS-critical, exactly as in
     _global_row_number (sampled range bounds and the frozen physical
     row order must not re-run).
 
@@ -1055,22 +1064,38 @@ def _grouped_row_number(
     no second corpus exchange."""
     group_cols = list(group_cols)
     order_exprs = [F.asc(c) if isinstance(c, str) else c for c in order_cols]
-    gkey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    gkey = F.concat_ws(_GSEP, *[F.col(c).cast("string") for c in group_cols])
     ranged = track_persist(
         df.repartitionByRange(ranges, *[F.asc(c) for c in group_cols], *order_exprs)
         .sortWithinPartitions(*[F.asc(c) for c in group_cols], *order_exprs)
+        .withColumn("_gkey", gkey)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("rid", F.shiftright(F.col("_mid"), 33).cast("int"))
     )
+    # `_gkey` is functionally determined by the group columns, so
+    # grouping by both costs nothing and hands back the PLAN-side cast
+    # string for each group — the map keys below come from these probe
+    # rows, so plan and driver can never disagree on the encoding.
     counts = sorted(
-        ranged.groupBy(*group_cols, "rid")
+        ranged.groupBy(*group_cols, "_gkey", "rid")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect(),
-        key=lambda r: (
-            tuple(str(r[c]) for c in group_cols),
-            r["rid"],
-        ),
+        key=lambda r: (r["_gkey"], r["rid"]),
     )
+    for r in counts:
+        for c in group_cols:
+            if r[c] is None:
+                raise ValueError(
+                    f"_grouped_row_number: NULL group value in column {c!r} — "
+                    "NULLs collapse under concat_ws and would corrupt map "
+                    "keys; filter or fillna the group columns first"
+                )
+        if r["_gkey"].count(_GSEP) != len(group_cols) - 1:
+            raise ValueError(
+                "_grouped_row_number: a group value contains the \\x1f key "
+                f"separator (key {r['_gkey']!r}) — distinct group tuples "
+                "would collide; escape or re-encode the group columns"
+            )
     # adj[g#rid] = (global rank offset of g's rows in rid) − (0-based
     # start of g's contiguous run within rid); rank = adj + local pos.
     # Runs are contiguous because the partition sort leads with the
@@ -1079,7 +1104,7 @@ def _grouped_row_number(
     tot: dict[str, int] = {}
     goff: dict[tuple, int] = {}
     for r in counts:
-        k = "\x1f".join(str(r[c]) for c in group_cols)
+        k = r["_gkey"]
         goff[(k, r["rid"])] = tot.get(k, 0)
         tot[k] = tot.get(k, 0) + r["c"]
     run_start: dict[tuple, int] = {}
@@ -1089,8 +1114,7 @@ def _grouped_row_number(
     for r in sorted(
         counts, key=lambda r: (r["rid"], tuple(r[c] for c in group_cols))
     ):
-        k = "\x1f".join(str(r[c]) for c in group_cols)
-        run_start[(k, r["rid"])] = by_rid.get(r["rid"], 0)
+        run_start[(r["_gkey"], r["rid"])] = by_rid.get(r["rid"], 0)
         by_rid[r["rid"]] = by_rid.get(r["rid"], 0) + r["c"]
     adj_map = F.create_map(
         *[
@@ -1103,17 +1127,17 @@ def _grouped_row_number(
         ]
     )
     rn = (
-        F.element_at(adj_map, F.concat(gkey, F.lit("#"), F.col("rid")))
+        F.element_at(adj_map, F.concat(F.col("_gkey"), F.lit("#"), F.col("rid")))
         + F.col("_mid").bitwiseAND(F.lit(_MID_LOW33))
         + 1
     ).cast("long")
-    out = ranged.withColumn(alias, rn).drop("_mid")
+    out = ranged.withColumn(alias, rn)
     if n_alias is not None:
         tot_map = F.create_map(
             *[x for k, n in tot.items() for x in (F.lit(k), F.lit(n).cast("long"))]
         )
-        out = out.withColumn(n_alias, F.element_at(tot_map, gkey))
-    return out
+        out = out.withColumn(n_alias, F.element_at(tot_map, F.col("_gkey")))
+    return out.drop("_mid", "_gkey")
 
 
 @query(
@@ -1546,6 +1570,22 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inter_arrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event gap (µs) since the SAME user's previous action of any
+    type — the shared input of events_inter_arrival_percentiles and
+    its rank-helper scale probe (plans/scale_probes.py). One per-user
+    window: hash exchange on user_id, gaps computed map-side."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts_us"
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(
+        W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    )
+    return ev.select("event_type", gap.alias("gap_us"), "event_id").filter(
+        F.col("gap_us").isNotNull()
+    )
+
+
 @query(
     "events_inter_arrival_percentiles",
     oracle="""
@@ -1620,13 +1660,7 @@ def events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     ROW_NUMBER breaks gap ties arbitrarily, but tied ranks hold THE
     SAME gap value, so every value-at-rank the aggregation reads is
     tie-order-invariant."""
-    ev = load_events(spark, sf_dir).select("user_id", "event_type", "event_id", "ts_us")
-    gap = F.col("ts_us") - F.lag("ts_us").over(
-        W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    )
-    seq = ev.select("event_type", gap.alias("gap_us"), "event_id").filter(
-        F.col("gap_us").isNotNull()
-    )
+    seq = _inter_arrival_gaps(spark, sf_dir)
     g = _grouped_row_number(
         seq,
         ["event_type"],

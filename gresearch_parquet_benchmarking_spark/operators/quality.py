@@ -1133,7 +1133,12 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a total order, so the top-{max(VOCAB_SWEEP)} set and its ranks
     are unique); coverage is one double division of exact integers."""
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
+    # persist the vocab aggregate: BOTH the top-K frame and the corpus
+    # totals read it, and relying on ReusedExchange to avoid a second
+    # full explode+groupBy corpus scan is session-history-dependent
+    # (round-4 lesson; r9 ADVICE). Heaps-law sublinear size — safe to
+    # cache at any scale.
+    vocab = track_persist(
         docs.select(F.explode(tokens_col("text")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")

@@ -65,70 +65,75 @@ def query(
 # — not Python import order, which any direct module import can perturb
 # — decides which queries get hard driver signal.
 #
-# Round 9 (VERDICT r8 "Next round" #1, rotation planned in CLAUDE.md
-# before the r8 window filled): all 12 r3-stale + all 27 r4-stale +
-# the 11 riskiest r5-stale rows (iterative/approx/flagship ops first)
-# = exactly 50, per the staleness ledger (scripts_dev/staleness.py).
-# window_range_frame heads the window: it was REIMPLEMENTED in r8
-# (value-binned RANGE-frame graduation) with only local-gate cover,
-# so it carries the largest hard-signal gap. After this round no
-# registered query is staler than r5; r10 retires the remaining 37
-# r5-stale rows.
+# Round 10 (VERDICT r9 "Next round" #2, rotation planned in CLAUDE.md
+# during r9): dedup_semantic_agreement (r9 addition, ZERO lifetime
+# driver signal — slot 0) + the 8 r9 reimplementations that were NOT
+# in the r9 window (narrow two-pass rank / top-k-then-rank / map-side
+# ntile graduations need hard driver signal) + the riskiest r6-stale
+# streaming rows (_run_to_table's progress loop changed in r9, so the
+# streaming pack goes before other r6-stale) + all 36 remaining
+# r5-stale rows = exactly 50 per scripts_dev/staleness.py.
+#
+# Note on the written plan's count: curriculum_deciles is both an r9
+# reimplementation AND r5-stale, so "8 + 37" double-counted it; the
+# freed slot goes to stream_stream_join (5th streaming row — its state
+# sizing ALSO changed in r8/r9). After this round nothing is staler
+# than r6; r11 retires the remaining 45 r6-stale + 5 oldest r7-stale.
 _WINDOW_PRIORITY = [
-    # r4-stale but REIMPLEMENTED in r8 — highest-risk slot, goes first
-    "window_range_frame",
-    # r3-stale (12): tpch2 8 + advanced 4
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_promo_suppliers",
-    "sample_hash_based",
-    "agg_regression",
-    "window_first_last_nth",
-    "scalar_null_funcs",
-    # r4-stale (remaining 26): dedup 6 + advanced 8 + scale 1 + pipeline2 11
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash_signature",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sql_grouping_sets",
-    "agg_percentiles",
-    "regexp_funcs",
-    "array_ops",
-    "agg_sum_distinct",
-    "agg_min_max_dates",
-    "salted_hot_key_agg",
-    "agg_approx_sketches",
-    "layout_bucketed_join",
-    "text_bigram_counts",
-    "train_test_split_hash",
-    "quality_filter_funnel",
-    "doc_length_histogram",
-    "dup_rate_by_source",
-    "token_percentiles_by_lang",
-    "vocab_cooccurrence",
-    "text_char_entropy",
-    "events_daily_anomaly",
-    "unigram_logprob_score",
-    "dedup_survivorship_by_source",
-    # r5-stale (11 riskiest: iterative / approx / flagship first)
-    "interval_overlap_users",
-    "dedup_connected_components",
-    "sequence_packing",
-    "curriculum_buckets_approx",
-    "dedup_incremental",
-    "kmeans_train",
-    "ann_ivf_pq_topk",
-    "dedup_semantic",
-    "split_contamination_safe",
-    "embedding_pca_power_iteration",
-    "sketch_hll_rolling_users",
+    # never driver-checked (added r9) — highest-risk slot, goes first
+    "dedup_semantic_agreement",
+    # r9 reimplementations without r9 driver signal (8)
+    "window_ntile_percent",
+    "tokenizer_vocab_coverage",
+    "graph_link_prediction_ra",
+    "window_rank_in_brand",
+    "curriculum_deciles",  # also r5-stale — occupies one slot, not two
+    "events_inter_arrival_percentiles",
+    "events_rfm_scores",
+    "events_power_user_concentration",
+    # riskiest r6-stale: the streaming pack (5) — progress loop changed r9
+    "stream_hourly_counts",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_enrich",
+    "stream_stream_join",
+    # r5-stale (all 36 remaining — retires the cohort completely)
+    "event_funnel_conversion",
+    "cohort_retention",
+    "events_sliding_active_users",
+    "event_attribution_last_touch",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_bloom_membership",
+    "sketch_countmin_freq",
+    "text_contamination_overlap",
+    "text_redact_blocklist",
+    "text_repetition_ratio",
+    "sample_stratified_by_lang",
+    "text_chunk_tokens",
+    "kmeans_reassign_matrix",
+    "embedding_sim_histogram",
+    "dedup_chunk_boilerplate",
+    "sample_importance_weighted",
+    "mixture_rebalance",
+    "text_langid_confusion",
+    "dedup_minhash_calibration",
+    "quality_vs_dup_lift",
+    "text_pmi_collocations",
+    "bigram_logprob_score",
+    "embedding_norms",
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
+    "ann_lsh_topk",
+    "embedding_cosine_neardup",
+    "embedding_quantize_int8",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "embedding_dim_covariance",
+    "embedding_whitening",
+    "ann_pq_codebook",
+    "ann_ivf_pq_recall",
 ]
 assert len(_WINDOW_PRIORITY) == 50 and len(set(_WINDOW_PRIORITY)) == 50
 

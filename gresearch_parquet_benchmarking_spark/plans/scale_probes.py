@@ -186,6 +186,52 @@ def probe_dedup_semantic(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def probe_window_ntile_percent(spark: SparkSession, sf_dir: str) -> dict:
+    """Two-pass global rank (_global_row_number, r10 — the helper is
+    load-bearing for 10 queries): the corpus shuffles exactly once
+    (range exchange) and the driver-side offset probe collects one row
+    per NON-EMPTY RANGE, a plan constant ≤ RANK_RANGES independent of
+    corpus size. candidates = that probe cardinality; `bound` = the
+    claimed cap, asserted at both SFs by test_scale_shapes."""
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        RANK_RANGES,
+        _global_row_number,
+    )
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    ranked, n = _global_row_number(pa, ["p_size", "p_partkey"], alias="rn")
+    cand = ranked.select("rid").distinct().count()
+    release_persists()
+    return {"rows": n, "candidates": cand, "bound": RANK_RANGES}
+
+
+def probe_events_inter_arrival_percentiles(spark: SparkSession, sf_dir: str) -> dict:
+    """Two-pass grouped rank (_grouped_row_number, r10): probe
+    cardinality ≤ |groups|·RANK_RANGES — event_type is a handful of
+    catalog values, so the offset map stays a bounded plan constant
+    while the ranked corpus grows."""
+    from gresearch_parquet_benchmarking_spark.operators.analytics import (
+        RANK_RANGES,
+        _grouped_row_number,
+        _inter_arrival_gaps,
+    )
+
+    seq = _inter_arrival_gaps(spark, sf_dir)
+    g = _grouped_row_number(
+        seq,
+        ["event_type"],
+        [F.asc("gap_us"), F.asc("event_id")],
+        alias="rn",
+        n_alias="n",
+    )
+    cand = g.select("event_type", "rid").distinct().count()
+    n_types = g.select("event_type").distinct().count()
+    rows = g.count()
+    release_persists()
+    return {"rows": rows, "candidates": cand, "bound": n_types * RANK_RANGES}
+
+
 def probe_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> dict:
     from gresearch_parquet_benchmarking_spark.operators.retrieval import _blocked_parts
 
@@ -205,6 +251,8 @@ PROBES = {
     "dedup_containment_bottomk": probe_dedup_containment_bottomk,
     "dedup_semantic": probe_dedup_semantic,
     "fuzzy_join_part_names": probe_fuzzy_join_part_names,
+    "window_ntile_percent": probe_window_ntile_percent,
+    "events_inter_arrival_percentiles": probe_events_inter_arrival_percentiles,
 }
 
 

@@ -142,6 +142,14 @@ def _window_partition_cols(plan: str) -> list[list[str]]:
             if j != -1 and j < seg_end:
                 seg_end, stop_tok = j, tok
         seg = plan[i:seg_end]
+        if "(" in seg:
+            # a function-call partition expression survived into the
+            # executed plan: comma-splitting would fragment its args
+            # into tokens that could false-match LOW_CARD_COLS (r9
+            # ADVICE). Treat the whole spec as unparseable — emit a
+            # sentinel no LOW_CARD_COLS entry can equal.
+            out.append(["<unparseable-expr>"])
+            continue
         items = [s.strip() for s in seg.split(",") if s.strip()]
         if stop_tok in (" ASC", " DESC") and items:
             items = items[:-1]  # last item is the first SORT column

@@ -141,6 +141,55 @@ def test_grouped_row_number_multi_column_group(spark):
         release_persists()
 
 
+def test_grouped_row_number_boolean_group(spark):
+    """r9 ADVICE hardening: map keys come from the Spark-side string
+    cast taken off the probe rows, so a boolean group column (whose
+    Python str() — 'True' — diverges from Spark's cast — 'true') must
+    rank correctly, not silently yield NULL ranks."""
+    rows = [(i, i % 2 == 0, (i * 7) % 5) for i in range(37)]
+    df = spark.createDataFrame(rows, "id long, g boolean, k long")
+    try:
+        ranked = _grouped_row_number(
+            df, ["g"], [F.asc("k"), F.asc("id")], alias="rn", ranges=8
+        )
+        ours = ranked.select("id", "rn").toPandas().set_index("id")["rn"]
+        assert not ours.isna().any()
+        ref = (
+            df.select(
+                "id",
+                F.row_number()
+                .over(W.partitionBy("g").orderBy(F.asc("k"), F.asc("id")))
+                .cast("long")
+                .alias("rn"),
+            )
+            .toPandas()
+            .set_index("id")["rn"]
+        )
+        assert ours.sort_index().tolist() == ref.sort_index().tolist()
+    finally:
+        release_persists()
+
+
+def test_grouped_row_number_rejects_null_group(spark):
+    rows = [(0, "en", 1), (1, None, 2), (2, "de", 3)]
+    df = spark.createDataFrame(rows, "id long, g string, k long")
+    try:
+        with pytest.raises(ValueError, match="NULL group value"):
+            _grouped_row_number(df, ["g"], [F.asc("k"), F.asc("id")], ranges=4)
+    finally:
+        release_persists()
+
+
+def test_grouped_row_number_rejects_separator_in_group_value(spark):
+    rows = [(0, "en", 1), (1, "a\x1fb", 2), (2, "de", 3)]
+    df = spark.createDataFrame(rows, "id long, g string, k long")
+    try:
+        with pytest.raises(ValueError, match="separator"):
+            _grouped_row_number(df, ["g"], [F.asc("k"), F.asc("id")], ranges=4)
+    finally:
+        release_persists()
+
+
 @pytest.mark.parametrize("n,tiles", [(23, 10), (101, 10), (64, 7)])
 def test_ntile_from_rank_col_matches_spark_ntile(spark, n, tiles):
     # groups of uneven size: the 'xx' group has < tiles rows at n=23,

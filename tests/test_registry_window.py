@@ -19,17 +19,44 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-9 window (VERDICT r8 "Next round" #1, rotation planned in
-# CLAUDE.md during r8): all r3-stale (12) + all r4-stale (27, with the
-# r8-reimplemented window_range_frame promoted to slot 0) + the 11
-# riskiest r5-stale rows. The canonical list lives in
-# registry._WINDOW_PRIORITY; these tests pin that the listing honors it
-# AND that the composition matches the staleness ledger in the
+# Round-10 window (VERDICT r9 "Next round" #2, rotation planned in
+# CLAUDE.md during r9): dedup_semantic_agreement (never driver-checked)
+# + the 8 r9 reimplementations without r9 driver signal + the 5-row
+# streaming pack (riskiest r6-stale: _run_to_table's progress loop
+# changed in r9) + all 36 remaining r5-stale. curriculum_deciles is
+# both an r9 reimplementation and r5-stale — the written plan's
+# "8 + 37" double-counted it, and the freed slot went to
+# stream_stream_join. The canonical list lives in
+# registry._WINDOW_PRIORITY; these tests pin that the listing honors
+# it AND that the composition matches the staleness ledger in the
 # committed CORRECTNESS artifacts.
 MUST_BE_IN_WINDOW = list(_WINDOW_PRIORITY)
 
+# The 8 queries reworked in r9 (narrow two-pass rank, top-k-then-rank,
+# map-side ntile) that were outside the r9 window — their committed
+# last-signal round predates the reimplementation, so the staleness
+# ledger alone would NOT schedule them.
+R9_REIMPLEMENTED = {
+    "window_ntile_percent",
+    "tokenizer_vocab_coverage",
+    "graph_link_prediction_ra",
+    "window_rank_in_brand",
+    "curriculum_deciles",
+    "events_inter_arrival_percentiles",
+    "events_rfm_scores",
+    "events_power_user_concentration",
+}
 
-def test_round9_window_composition():
+STREAMING_PACK = {
+    "stream_hourly_counts",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_enrich",
+    "stream_stream_join",
+}
+
+
+def test_round10_window_composition():
     names = list(all_queries())
     window = names[:WINDOW]
     assert window == MUST_BE_IN_WINDOW, (
@@ -54,35 +81,52 @@ def _last_driver_signal(through_round: int) -> dict[str, int]:
     return last
 
 
-def test_round9_window_head_is_reimplemented_row():
-    """window_range_frame was reimplemented in r8 (value-binned RANGE
-    frame) with only local-gate cover — it must head the window."""
-    assert MUST_BE_IN_WINDOW[0] == "window_range_frame"
+def test_round10_window_head_is_never_checked_row():
+    """dedup_semantic_agreement was added in r9 with zero lifetime
+    driver signal — it must head the window."""
+    assert MUST_BE_IN_WINDOW[0] == "dedup_semantic_agreement"
+    last = _last_driver_signal(through_round=9)
+    if last:
+        assert "dedup_semantic_agreement" not in last
 
 
-def test_round9_window_is_the_stalest_cohort():
-    """Every window slot must go to a query whose last driver signal
-    (as of the committed r1–r8 artifacts) is r3, r4, or r5 — the three
-    stalest cohorts. No slot may be wasted on a fresher query."""
-    last = _last_driver_signal(through_round=8)
+def test_round10_window_slots_justified():
+    """Every window slot must go to (a) a never-driver-checked query,
+    (b) an r9-reimplemented query, or (c) a query whose last signal is
+    r5 or r6 — the two stalest cohorts (r6 slots are the streaming
+    pack). No slot may be wasted on a fresher query."""
+    last = _last_driver_signal(through_round=9)
     if not last:  # artifacts absent in a bare checkout — nothing to pin
         return
-    fresh = [n for n in MUST_BE_IN_WINDOW if last.get(n, 0) not in (3, 4, 5)]
-    assert fresh == [], f"window slots wasted on non-r3/r4/r5-stale queries: {fresh}"
+    wasted = [
+        n
+        for n in MUST_BE_IN_WINDOW
+        if n in last
+        and last[n] not in (5, 6)
+        and n not in R9_REIMPLEMENTED
+    ]
+    assert wasted == [], f"window slots wasted on fresh queries: {wasted}"
+    r6 = [n for n in MUST_BE_IN_WINDOW if last.get(n) == 6]
+    assert set(r6) == STREAMING_PACK, (
+        f"r6 slots must be exactly the streaming pack, got: {sorted(r6)}"
+    )
 
 
-def test_round9_window_covers_all_r3_and_r4_stale():
-    """The r3-stale and r4-stale cohorts must be retired COMPLETELY this
-    round — after r9 no registered query's last signal predates r5."""
-    last = _last_driver_signal(through_round=8)
+def test_round10_window_covers_all_r5_stale():
+    """The r5-stale cohort must be retired COMPLETELY this round —
+    after r10 no registered query's last signal predates r6."""
+    last = _last_driver_signal(through_round=9)
     if not last:
         return
     registered = set(all_queries())
-    oldest = sorted(
-        n for n, r in last.items() if r in (3, 4) and n in registered
-    )
+    oldest = sorted(n for n, r in last.items() if r == 5 and n in registered)
     missing = [n for n in oldest if n not in set(MUST_BE_IN_WINDOW)]
-    assert missing == [], f"r3/r4-stale queries left out of the window: {missing}"
+    assert missing == [], f"r5-stale queries left out of the window: {missing}"
+
+
+def test_round10_window_covers_all_r9_reimplementations():
+    missing = sorted(R9_REIMPLEMENTED - set(MUST_BE_IN_WINDOW))
+    assert missing == [], f"r9 reimplementations without a slot: {missing}"
 
 
 ROWS_ONLY_BY_DESIGN: set[str] = set()

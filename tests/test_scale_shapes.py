@@ -63,6 +63,13 @@ CAND_SLACK = {
     # density: quadratic between these SFs, linear in timespan/
     # partition growth at production. Measured r7: 99.2× for 10× rows.
     "fuzzy_join_part_names": None,
+    # r10 (VERDICT r9 #7): the two-pass rank helpers. "candidates" is
+    # the driver-side offset-probe cardinality — a plan CONSTANT
+    # (≤ ranges, resp. ≤ |groups|·ranges), so growth ≈ 1× while rows
+    # grow 10×; the probes also return the claimed `bound`, asserted
+    # exactly in test_rank_probe_cardinality_bounded below.
+    "window_ntile_percent": 3.0,
+    "events_inter_arrival_percentiles": 3.0,
 }
 # shuffle-growth / rows-growth upper bound (measured: 0.4–1.04;
 # containment's 1.04 includes the per-candidate verification payload,
@@ -115,6 +122,24 @@ def test_scale_shape_near_linear(spark, name):
 # predict LINEAR candidate work. Measured r8: ratio 1.00 and 0.98
 # (vs 9.99 and, pre-fix, 7.78 on the density pair).
 # ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["window_ntile_percent", "events_inter_arrival_percentiles"]
+)
+def test_rank_probe_cardinality_bounded(spark, name):
+    """The two-pass rank helpers' whole scale claim: the driver-side
+    offset probe stays under its plan-constant cap (ranges, resp.
+    |groups|·ranges) at BOTH SFs — the collected map never grows with
+    the corpus."""
+    from gresearch_parquet_benchmarking_spark.plans.scale_probes import PROBES
+
+    for sf_dir in (SF_SMALL, SF_BIG):
+        out = PROBES[name](spark, sf_dir)
+        assert out["candidates"] <= out["bound"], (
+            f"{name}@{sf_dir}: offset probe collected {out['candidates']} "
+            f"rows, above the claimed plan-constant bound {out['bound']}"
+        )
 
 
 def test_interval_overlap_candidates_linear_in_timespan(spark):
