@@ -249,6 +249,13 @@ SUSPECTS: list[str] = []
 # itself (healthy quiet host: ~1.0-1.2; cold/contended: 1.3+).
 DRIFT_RATIOS: list[float] = []
 DRIFT_MIN_FLOOR = 0.02  # ignore sub-20ms floors: timer noise dominates
+# Wall-clock offset (s since run start) at which each entry finished
+# measuring — full-artifact only. The r10 host proved it can shift
+# speed MID-RUN (two fast host_index endpoints bracketing a 1.44-drift
+# run); a per-key timeline makes that visible as drift-vs-offset
+# correlation instead of another round of narrative adjudication.
+RUN_T0: float | None = None
+AT: dict[str, float] = {}
 
 
 SEED_HISTORY_PATH = os.path.join(
@@ -392,6 +399,8 @@ def measured(
             SUSPECTS.append(name)
     HISTORY[hkey] = min(val, ref) if ref is not None else val
     out[name] = round(val, nd)
+    if RUN_T0 is not None:
+        AT[name] = round(time.perf_counter() - RUN_T0, 1)
 
 
 def _task_or_wall(spark, thunk) -> float:
@@ -821,6 +830,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     host = host_index()  # before the JVM exists — must measure the bare host
+    global RUN_T0
+    RUN_T0 = time.perf_counter()
     # UI on (random port): the io_*_task_* entries read per-stage
     # executorRunTime from the UI REST API to split the ~130 ms
     # driver/scheduler floor out of small-file read timings.
@@ -871,6 +882,10 @@ def main() -> None:
         # a round's values against another round's to separate host tax
         # from code regressions numerically
         "host": host,
+        # same index at run END — two fast endpoints around a drifted
+        # run mean the shift happened mid-run (full artifact adds the
+        # per-key "at" timeline to localize it)
+        "host_end": host_index(),
         "full": "bench_results/bench_full_latest.json",
     }
     # The driver records only the LAST ~2000 bytes of stdout and
@@ -890,9 +905,13 @@ def main() -> None:
         "bench_results",
         "bench_full_latest.json",
     )
+    payload["at"] = AT  # full-artifact only: per-key finish offsets
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     compact = dict(payload)
+    # timeline + end-index stay out of the compact line (TAIL_BUDGET)
+    compact.pop("at")
+    compact.pop("host_end")
     keep = [k for k in results if k in HEADLINE or k in COMPACT_IO_KEYS]
     # Trim io detail first, in REVERSE COMPACT_IO_KEYS priority — the
     # list is ordered BASELINE-grid comparables first, layout/join

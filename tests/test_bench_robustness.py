@@ -195,6 +195,26 @@ def test_drift_ratio_collection():
     bench.DRIFT_RATIOS.clear()
 
 
+def test_measured_records_timeline_offsets():
+    """With RUN_T0 armed, measured() stamps each entry's finish offset
+    into bench.AT (full-artifact timeline; the r10 mid-run host-shift
+    evidence channel). With RUN_T0 unset (unit tests, partial runs) it
+    stays silent."""
+    bench.HISTORY.clear()
+    bench.AT.clear()
+    out = {}
+    bench.measured(out, "x", lambda: 0.5, trials=1, warmups=0, stat=bench.med)
+    assert "x" not in bench.AT  # RUN_T0 unset
+    bench.RUN_T0 = __import__("time").perf_counter() - 7.0
+    try:
+        bench.measured(out, "y", lambda: 0.5, trials=1, warmups=0, stat=bench.med)
+        assert 6.5 <= bench.AT["y"] <= 8.0
+    finally:
+        bench.RUN_T0 = None
+        bench.AT.clear()
+        bench.HISTORY.clear()
+
+
 def test_sf_history_suffix_isolates_non_default_sf():
     assert bench._sf_hist_suffix("/root/testdata/sf0.1") == ""
     assert bench._sf_hist_suffix("/root/testdata/sf0.1/") == ""
