@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -288,6 +289,38 @@ def _save_history() -> None:
         pass
 
 
+_SAT_LOOP_CODE = (
+    "import time\n"
+    "t0 = time.perf_counter()\n"
+    "x = 0\n"
+    "for i in range(5_000_000):\n"
+    "    x += i\n"
+    "print(time.perf_counter() - t0)\n"
+)
+
+
+def _saturated_loop_median(width: int) -> float:
+    """Median per-process time of ``width`` concurrent interpreter
+    loops, each in its own bare ``python -c`` subprocess (no heavy
+    imports, no fork-with-threads hazards). This is the load shape a
+    32-thread local Spark stage puts on the box — which the single-core
+    ``py`` index cannot see: the r10 host measured py=0.19-0.23
+    (fast) across three whole runs while the 32-wide per-core
+    throughput sat 1.39-1.49x BELOW single-core, matching the runs'
+    1.32-1.44 drift_vs_floor almost exactly. drift ≈ py_sat/py means
+    host tax, numerically, with no A/B reruns."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SAT_LOOP_CODE],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(width)
+    ]
+    vals = [float(p.communicate()[0]) for p in procs]
+    return statistics.median(vals)
+
+
 def host_index() -> dict[str, float]:
     """Pure-Python/numpy host-speed micro-index, recorded in every
     artifact so cross-round deltas can be normalized by HOST CLASS as
@@ -296,10 +329,14 @@ def host_index() -> dict[str, float]:
     signature — but had nothing quantitative to compare hosts with).
     Components (each min-of-3, JVM-free, run BEFORE Spark starts):
 
-      py — single-core interpreter loop (clock + IPC; 0.4-0.6 s on a
-           fast core, ~1.6 s on the r10 host)
-      mm — numpy 1200² matmul (SIMD + memory bandwidth)
-      io — cached re-read of a 64 MB scratch file (page-cache/VFS)
+      py     — single-core interpreter loop (clock + IPC; 0.4-0.6 s on
+               a fast core, ~1.6 s on the r10 host)
+      py_sat — the SAME loop run 32-wide (all cores saturated, the
+               Spark-stage load shape); py_sat/py is the saturation
+               tax single-core probes cannot see — it matched the
+               r10 runs' 1.32-1.44 drift_vs_floor while py read fast
+      mm     — numpy 1200² matmul (SIMD + memory bandwidth)
+      io     — cached re-read of a 64 MB scratch file (page-cache/VFS)
 
     Read a round's ratios vs another round's as the host-class factor;
     queries drifting uniformly by ≈ that factor are host tax, not
@@ -334,8 +371,12 @@ def host_index() -> dict[str, float]:
         return time.perf_counter() - t0
 
     _mm(), _read()  # warm BLAS threads + page cache
+    width = min(32, os.cpu_count() or 1)
     return {
         "py": round(min(_loop() for _ in range(3)), 3),
+        # saturated (all-core) per-loop median: the Spark-stage load
+        # shape; py_sat/py is the per-run saturation tax
+        "py_sat": round(min(_saturated_loop_median(width) for _ in range(2)), 3),
         "mm": round(min(_mm() for _ in range(3)), 3),
         "io": round(min(_read() for _ in range(3)), 3),
     }

@@ -131,7 +131,7 @@ def _compact_line(results: dict, suspects: list | None = None) -> tuple[dict, st
         "sf": 0.1,
         "contention_suspects": suspects or [],
         "drift_vs_floor": 123.456,  # worst-case width
-        "host": {"py": 123.456, "mm": 123.456, "io": 123.456},
+        "host": {"py": 123.456, "py_sat": 123.456, "mm": 123.456, "io": 123.456},
         "full": "bench_results/bench_full_latest.json",
     }
     keep = [k for k in results if k in bench.HEADLINE or k in bench.COMPACT_IO_KEYS]
