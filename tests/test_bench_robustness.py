@@ -195,6 +195,14 @@ def test_drift_ratio_collection():
     bench.DRIFT_RATIOS.clear()
 
 
+def test_saturated_loop_median_runs_bare_subprocesses():
+    """py_sat's worker is a bare `python -c` loop (no heavy imports, no
+    fork-with-threads hazards) returning a plausible per-process time;
+    width=2 keeps the unit test cheap."""
+    v = bench._saturated_loop_median(2)
+    assert 0.05 < v < 30.0
+
+
 def test_measured_records_timeline_offsets():
     """With RUN_T0 armed, measured() stamps each entry's finish offset
     into bench.AT (full-artifact timeline; the r10 mid-run host-shift
