@@ -952,22 +952,25 @@ PHASH_PREFIX_CHARS = 128
 
 
 def _phash_batch(batch):
-    """Deterministic perceptual-hash STAND-IN over the binary payload
-    (multimodal._fake_decode_batch contract: the container has no
-    image codecs, so the 'decode' is payload-derived and exactly
-    SQL-twinned; a real deployment swaps THIS function for
-    decode→downscale→DCT-sign bits and keeps the plumbing). The fake
-    normalizes the payload's content — casefold, collapse whitespace,
-    truncate — so near-identical assets (case/spacing variants)
-    collide, which is the perceptual property the dedup relies on."""
+    """Perceptual hash over the binary payload: DECODE the container
+    (multimodal.parse_container — real byte-level header parse + body
+    extraction), then hash the normalized content — casefold, collapse
+    whitespace, truncate — so near-identical assets (case/spacing
+    variants) collide, which is the perceptual property the dedup
+    relies on. A real deployment swaps the normalize step for
+    downscale→DCT-sign bits; decode and plumbing are unchanged."""
     import hashlib
     import re
 
     import pandas as pd
 
+    from gresearch_parquet_benchmarking_spark.operators.multimodal import (
+        parse_container,
+    )
+
     s = (
         batch["payload"]
-        .map(lambda b: b.decode("utf-8"))
+        .map(lambda b: parse_container(bytes(b))["body"].decode("utf-8"))
         .str.lower()
         .map(lambda t: re.sub(r"\s+", " ", t).strip()[:PHASH_PREFIX_CHARS])
     )
@@ -990,9 +993,9 @@ def _phash_batch(batch):
         FROM documents WHERE doc_id % {INJECT_EVERY} = 0
     ),
     sig AS (
-        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
-                                            WHEN 1 THEN 'audio/wav'
-                                            ELSE 'video/mp4' END AS kind,
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/ppm'
+                                            WHEN 1 THEN 'audio/wavt'
+                                            ELSE 'video/mvid' END AS kind,
                substr(md5(substr(trim(regexp_replace(lower(text),
                           '\\s+', ' ', 'g')), 1, {PHASH_PREFIX_CHARS})),
                       1, 16) AS phash

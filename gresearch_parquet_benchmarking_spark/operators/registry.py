@@ -65,75 +65,79 @@ def query(
 # — not Python import order, which any direct module import can perturb
 # — decides which queries get hard driver signal.
 #
-# Round 10 (VERDICT r9 "Next round" #2, rotation planned in CLAUDE.md
-# during r9): dedup_semantic_agreement (r9 addition, ZERO lifetime
-# driver signal — slot 0) + the 8 r9 reimplementations that were NOT
-# in the r9 window (narrow two-pass rank / top-k-then-rank / map-side
-# ntile graduations need hard driver signal) + the riskiest r6-stale
-# streaming rows (_run_to_table's progress loop changed in r9, so the
-# streaming pack goes before other r6-stale) + all 36 remaining
-# r5-stale rows = exactly 50 per scripts_dev/staleness.py.
-#
-# Note on the written plan's count: curriculum_deciles is both an r9
-# reimplementation AND r5-stale, so "8 + 37" double-counted it; the
-# freed slot goes to stream_stream_join (5th streaming row — its state
-# sizing ALSO changed in r8/r9). After this round nothing is staler
-# than r6; r11 retires the remaining 45 r6-stale + 5 oldest r7-stale.
+# Round 11 (VERDICT r10 "Next round" #1, rotation planned in CLAUDE.md
+# during r10, verified against scripts_dev/staleness.py after
+# CORRECTNESS_r10 landed): ALL 45 remaining r6-stale rows + the 5
+# riskiest r7-stale. Ordering within the window: the six r6-stale
+# streaming rows first (_run_to_table's progress loop changed in r9 —
+# these are the only r6 rows whose execution machinery changed since
+# their last signal), then the three r7-stale trending-module streaming
+# rows (same machinery), then dedup_containment_bottomk (candidate rule
+# rewritten r8) and graph_pagerank_bipartite (iterative), then the
+# multimodal pack (decode kernel replaced with a real byte-level
+# decoder THIS round — needs fresh driver signal), then the remaining
+# r6-stale batch packs. After this round nothing is staler than r7;
+# r12 takes the remaining 45 r7-stale + 5 oldest r8-stale.
 _WINDOW_PRIORITY = [
-    # never driver-checked (added r9) — highest-risk slot, goes first
-    "dedup_semantic_agreement",
-    # r9 reimplementations without r9 driver signal (8)
-    "window_ntile_percent",
-    "tokenizer_vocab_coverage",
-    "graph_link_prediction_ra",
-    "window_rank_in_brand",
-    "curriculum_deciles",  # also r5-stale — occupies one slot, not two
-    "events_inter_arrival_percentiles",
-    "events_rfm_scores",
-    "events_power_user_concentration",
-    # riskiest r6-stale: the streaming pack (5) — progress loop changed r9
-    "stream_hourly_counts",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_enrich",
-    "stream_stream_join",
-    # r5-stale (all 36 remaining — retires the cohort completely)
-    "event_funnel_conversion",
-    "cohort_retention",
-    "events_sliding_active_users",
-    "event_attribution_last_touch",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_bloom_membership",
-    "sketch_countmin_freq",
-    "text_contamination_overlap",
-    "text_redact_blocklist",
-    "text_repetition_ratio",
-    "sample_stratified_by_lang",
-    "text_chunk_tokens",
-    "kmeans_reassign_matrix",
-    "embedding_sim_histogram",
-    "dedup_chunk_boilerplate",
-    "sample_importance_weighted",
-    "mixture_rebalance",
-    "text_langid_confusion",
-    "dedup_minhash_calibration",
-    "quality_vs_dup_lift",
-    "text_pmi_collocations",
-    "bigram_logprob_score",
-    "embedding_norms",
-    "ann_topk_bruteforce",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe2",
-    "ann_lsh_topk",
-    "embedding_cosine_neardup",
-    "embedding_quantize_int8",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "embedding_dim_covariance",
-    "embedding_whitening",
-    "ann_pq_codebook",
-    "ann_ivf_pq_recall",
+    # r6-stale streaming pack (6) — riskiest: progress loop changed r9
+    "stream_dedup_incremental",
+    "stream_centroid_assign",
+    "stream_funnel_stateful",
+    "stream_funnel_buffered_ooo",
+    "stream_late_data_audit",
+    "stream_user_latest_state",
+    # r7-stale riskiest (5): trending module rides _run_to_table too;
+    # containment's candidate rule is the r8 rewrite; pagerank iterates
+    "stream_topk_trending",
+    "stream_psi_value_drift",
+    "stream_integrity_checksum",
+    "dedup_containment_bottomk",
+    "graph_pagerank_bipartite",
+    # r6-stale multimodal pack (5) — decode kernel replaced in r11
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_by_kind",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # r6-stale relational pack (8)
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    # r6-stale text pack (9)
+    "text_token_stats",
+    "text_term_frequency",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "doc_stats_by_lang_source",
+    "text_subword_tokens",
+    "text_tfidf_top_terms",
+    "text_winnowing_fingerprints",
+    # r6-stale report pack (6)
+    "json_extract_events",
+    "events_by_day",
+    "events_pivot_by_type",
+    "sessionization",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    # r6-stale profile (1)
+    "profile_lineitem_columns",
+    # r6-stale relational2 pack (10)
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "merge_upsert_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "q2_cheapest_per_brand",
+    "q4_priority_with_big_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue_ratio",
+    "q21_multi_supplier_orders",
 ]
 assert len(_WINDOW_PRIORITY) == 50 and len(set(_WINDOW_PRIORITY)) == 50
 
@@ -198,16 +202,11 @@ def _ensure_loaded() -> None:
     # decided by _WINDOW_PRIORITY + _MODULE_ORDER, not import order —
     # imports here only trigger registration.)
     #
-    # Round-9 window (r8 VERDICT "Next round" #1): all r3-stale (12) +
-    # all r4-stale (27, window_range_frame promoted to slot 0 as the
-    # r8-reimplemented row) + the 11 riskiest r5-stale. See
-    # _WINDOW_PRIORITY above for the exact list.
-    # r10 rotation plan (exact list in CLAUDE.md, written before the
-    # window fills): dedup_semantic_agreement (r9 addition, zero
-    # lifetime signal — slot 0) + the 8 r9 reimplementations not in
-    # the r9 window (window_range_frame precedent) + all 37 remaining
-    # r5-stale rows + the 4 riskiest r6-stale (streaming pack)
-    # = exactly 50. Update tests/test_registry_window.py when
+    # Round-11 window (r10 VERDICT "Next round" #1): all 45 remaining
+    # r6-stale + the 5 riskiest r7-stale. See _WINDOW_PRIORITY above.
+    # r12 rotation plan (exact list in CLAUDE.md, written before the
+    # window fills): the 45 remaining r7-stale rows + the 5 oldest
+    # r8-stale = exactly 50. Update tests/test_registry_window.py when
     # rotating.
     # Everything outside the window stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).

@@ -19,44 +19,35 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-10 window (VERDICT r9 "Next round" #2, rotation planned in
-# CLAUDE.md during r9): dedup_semantic_agreement (never driver-checked)
-# + the 8 r9 reimplementations without r9 driver signal + the 5-row
-# streaming pack (riskiest r6-stale: _run_to_table's progress loop
-# changed in r9) + all 36 remaining r5-stale. curriculum_deciles is
-# both an r9 reimplementation and r5-stale — the written plan's
-# "8 + 37" double-counted it, and the freed slot went to
-# stream_stream_join. The canonical list lives in
-# registry._WINDOW_PRIORITY; these tests pin that the listing honors
-# it AND that the composition matches the staleness ledger in the
-# committed CORRECTNESS artifacts.
+# Round-11 window (VERDICT r10 "Next round" #1, rotation planned in
+# CLAUDE.md during r10): ALL 45 remaining r6-stale rows + the 5 riskiest
+# r7-stale (the three trending-module streaming rows ride the same
+# _run_to_table machinery that changed in r9; dedup_containment_bottomk
+# runs the r8-rewritten candidate rule; graph_pagerank_bipartite is
+# iterative). The canonical list lives in registry._WINDOW_PRIORITY;
+# these tests pin that the listing honors it AND that the composition
+# matches the staleness ledger in the committed CORRECTNESS artifacts.
 MUST_BE_IN_WINDOW = list(_WINDOW_PRIORITY)
 
-# The 8 queries reworked in r9 (narrow two-pass rank, top-k-then-rank,
-# map-side ntile) that were outside the r9 window — their committed
-# last-signal round predates the reimplementation, so the staleness
-# ledger alone would NOT schedule them.
-R9_REIMPLEMENTED = {
-    "window_ntile_percent",
-    "tokenizer_vocab_coverage",
-    "graph_link_prediction_ra",
-    "window_rank_in_brand",
-    "curriculum_deciles",
-    "events_inter_arrival_percentiles",
-    "events_rfm_scores",
-    "events_power_user_concentration",
+# The 5 r7-stale rows granted slots ahead of the staleness ledger's
+# strict ordering (riskiest machinery, per the written plan).
+R7_RISKIEST = {
+    "stream_topk_trending",
+    "stream_psi_value_drift",
+    "stream_integrity_checksum",
+    "dedup_containment_bottomk",
+    "graph_pagerank_bipartite",
 }
 
-STREAMING_PACK = {
-    "stream_hourly_counts",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_enrich",
-    "stream_stream_join",
-}
+# Rotation discipline bound (VERDICT r10 "Next round" #2): once the
+# window rotates every round, no registered query's last driver signal
+# may lag the newest committed CORRECTNESS artifact by more than
+# MAX_STALENESS rounds. After r10 the oldest signal is r6 (lag 4);
+# each planned rotation keeps the lag at 4 — 5 is the tripwire.
+MAX_STALENESS = 5
 
 
-def test_round10_window_composition():
+def test_round11_window_composition():
     names = list(all_queries())
     window = names[:WINDOW]
     assert window == MUST_BE_IN_WINDOW, (
@@ -81,52 +72,73 @@ def _last_driver_signal(through_round: int) -> dict[str, int]:
     return last
 
 
-def test_round10_window_head_is_never_checked_row():
-    """dedup_semantic_agreement was added in r9 with zero lifetime
-    driver signal — it must head the window."""
-    assert MUST_BE_IN_WINDOW[0] == "dedup_semantic_agreement"
-    last = _last_driver_signal(through_round=9)
-    if last:
-        assert "dedup_semantic_agreement" not in last
+def _latest_committed_round() -> int:
+    repo = Path(__file__).resolve().parents[1]
+    rounds = [
+        int(m.group(1))
+        for art in repo.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"_r(\d+)\.json$", art.name))
+    ]
+    return max(rounds, default=0)
 
 
-def test_round10_window_slots_justified():
+def test_round11_window_slots_justified():
     """Every window slot must go to (a) a never-driver-checked query,
-    (b) an r9-reimplemented query, or (c) a query whose last signal is
-    r5 or r6 — the two stalest cohorts (r6 slots are the streaming
-    pack). No slot may be wasted on a fresher query."""
-    last = _last_driver_signal(through_round=9)
+    (b) an r6-stale query (the stalest cohort after r10), or (c) one of
+    the 5 named riskiest r7-stale rows. No slot may be wasted on a
+    fresher query."""
+    last = _last_driver_signal(through_round=10)
     if not last:  # artifacts absent in a bare checkout — nothing to pin
         return
     wasted = [
         n
         for n in MUST_BE_IN_WINDOW
-        if n in last
-        and last[n] not in (5, 6)
-        and n not in R9_REIMPLEMENTED
+        if n in last and last[n] != 6 and n not in R7_RISKIEST
     ]
     assert wasted == [], f"window slots wasted on fresh queries: {wasted}"
-    r6 = [n for n in MUST_BE_IN_WINDOW if last.get(n) == 6]
-    assert set(r6) == STREAMING_PACK, (
-        f"r6 slots must be exactly the streaming pack, got: {sorted(r6)}"
+    r7 = [n for n in MUST_BE_IN_WINDOW if last.get(n) == 7]
+    assert set(r7) == R7_RISKIEST, (
+        f"r7 slots must be exactly the named riskiest five, got: {sorted(r7)}"
     )
 
 
-def test_round10_window_covers_all_r5_stale():
-    """The r5-stale cohort must be retired COMPLETELY this round —
-    after r10 no registered query's last signal predates r6."""
-    last = _last_driver_signal(through_round=9)
+def test_round11_window_covers_all_r6_stale():
+    """The r6-stale cohort must be retired COMPLETELY this round —
+    after r11 no registered query's last signal predates r7."""
+    last = _last_driver_signal(through_round=10)
     if not last:
         return
     registered = set(all_queries())
-    oldest = sorted(n for n, r in last.items() if r == 5 and n in registered)
+    oldest = sorted(n for n, r in last.items() if r == 6 and n in registered)
     missing = [n for n in oldest if n not in set(MUST_BE_IN_WINDOW)]
-    assert missing == [], f"r5-stale queries left out of the window: {missing}"
+    assert missing == [], f"r6-stale queries left out of the window: {missing}"
 
 
-def test_round10_window_covers_all_r9_reimplementations():
-    missing = sorted(R9_REIMPLEMENTED - set(MUST_BE_IN_WINDOW))
-    assert missing == [], f"r9 reimplementations without a slot: {missing}"
+def test_standing_staleness_bound():
+    """Rotation-discipline tripwire (VERDICT r10 #2): against the newest
+    committed CORRECTNESS artifact, (a) every registered query that has
+    EVER been driver-checked must have signal within MAX_STALENESS
+    rounds, and (b) any registered query with NO lifetime signal must
+    hold a window slot (it cannot wait a round). This must keep passing
+    under every future rotation — if a planned window would violate it,
+    fix the window, not this test."""
+    latest = _latest_committed_round()
+    if latest == 0:
+        return
+    last = _last_driver_signal(through_round=latest)
+    registered = set(all_queries())
+    window = set(MUST_BE_IN_WINDOW)
+    too_stale = sorted(
+        n for n in registered if n in last and latest - last[n] > MAX_STALENESS
+    )
+    assert too_stale == [], (
+        f"queries staler than {MAX_STALENESS} rounds (vs r{latest}): "
+        f"{too_stale} — rotate them into _WINDOW_PRIORITY"
+    )
+    never = sorted(n for n in registered if n not in last and n not in window)
+    assert never == [], (
+        f"never-driver-checked queries without a window slot: {never}"
+    )
 
 
 ROWS_ONLY_BY_DESIGN: set[str] = set()
