@@ -317,8 +317,19 @@ def _saturated_loop_median(width: int) -> float:
         )
         for _ in range(width)
     ]
-    vals = [float(p.communicate()[0]) for p in procs]
-    return statistics.median(vals)
+    vals = []
+    for p in procs:
+        out, _ = p.communicate()
+        # a probe subprocess can die under the very pressure it
+        # measures (OOM/signal) — skip it rather than abort the run
+        # (at the host_end call site that would lose a COMPLETED run)
+        if p.returncode != 0:
+            continue
+        try:
+            vals.append(float(out))
+        except (TypeError, ValueError):
+            continue
+    return statistics.median(vals) if vals else float("nan")
 
 
 def host_index() -> dict[str, float]:
@@ -375,8 +386,11 @@ def host_index() -> dict[str, float]:
     return {
         "py": round(min(_loop() for _ in range(3)), 3),
         # saturated (all-core) per-loop median: the Spark-stage load
-        # shape; py_sat/py is the per-run saturation tax
-        "py_sat": round(min(_saturated_loop_median(width) for _ in range(2)), 3),
+        # shape; py_sat/py is the per-run saturation tax. max of the
+        # two batches — BENCH.md reads py_sat/py as the run's pressure
+        # UPPER bound, and min would bias the tax estimate low when
+        # pressure fluctuates between batches (ADVICE r10)
+        "py_sat": round(max(_saturated_loop_median(width) for _ in range(2)), 3),
         "mm": round(min(_mm() for _ in range(3)), 3),
         "io": round(min(_read() for _ in range(3)), 3),
     }
@@ -471,10 +485,29 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     queries = all_queries()
     out: dict[str, float] = {}
     sfx = _sf_hist_suffix(sf_dir)
-    for name in HEADLINE + FULL_ONLY_QUERIES:
+    names = HEADLINE + FULL_ONLY_QUERIES
+    # Whole-suite warm circuit (VERDICT r10 #3): the per-key warmup is
+    # MOVED to a single untimed pass over every query BEFORE any trial
+    # — same 4 executions per key (1 warm + 3 trials), zero added wall
+    # time, but by the time ANY key is timed the JVM has JIT-compiled
+    # and codegen'd the whole suite and the page cache holds every
+    # input. The r10 five-run sequence showed in-session warm state
+    # dominates totals (63→45 s same-code); a first driver-triggered
+    # run previously timed its early keys on a cold JVM.
+    # ENGINE_BENCH_WARM_CIRCUIT=0 restores the old per-key-warmup
+    # ordering for A/B.
+    warm_circuit = os.environ.get("ENGINE_BENCH_WARM_CIRCUIT") != "0"
+    if warm_circuit:
+        for name in names:
+            try:
+                _run_query_once(queries[name], spark, sf_dir)
+            finally:
+                release_persists()
+    for name in names:
         fn = queries[name]
         measured(
             out, name, lambda: _run_query_once(fn, spark, sf_dir), stat=med,
+            warmups=0 if warm_circuit else WARMUPS,
             hkey=name + sfx,
         )
         release_persists()  # drop per-query tracked caches between entries
@@ -893,6 +926,12 @@ def main() -> None:
         results.update(bench_scale(spark, sf_dir))
 
     _save_history()
+    # all measurements done — stop Spark BEFORE the end-of-run host
+    # probe so the 32-wide py_sat loop doesn't contend with JVM
+    # background/GC threads (ADVICE r10: a JVM-alive host_end made the
+    # bare-host start → loaded end comparison systematically biased)
+    spark.stop()
+    host_end = host_index()
     # headline metric stays comparable across rounds: the full-only
     # tier is measured and recorded but not part of the total
     total = round(
@@ -923,10 +962,11 @@ def main() -> None:
         # a round's values against another round's to separate host tax
         # from code regressions numerically
         "host": host,
-        # same index at run END — two fast endpoints around a drifted
-        # run mean the shift happened mid-run (full artifact adds the
+        # same index at run END (JVM stopped first — both endpoints
+        # are bare-host) — two fast endpoints around a drifted run
+        # mean the shift happened mid-run (full artifact adds the
         # per-key "at" timeline to localize it)
-        "host_end": host_index(),
+        "host_end": host_end,
         "full": "bench_results/bench_full_latest.json",
     }
     # The driver records only the LAST ~2000 bytes of stdout and
@@ -968,7 +1008,6 @@ def main() -> None:
         compact["queries"].pop(spill.pop())
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -67,6 +67,23 @@ _P2_OFFSET = 2_000_000     # planted in-batch duplicate pairs
 _SQL_FP = "md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))"
 
 
+def _pack_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted tokenize-and-count projection feeding BOTH prefix-sum
+    passes — shared by the query and the scale probe. Constant-width
+    rows (doc_id, lang, n_tok, rid); text itself is never retained or
+    shuffled. (At sf0.1 the persist is cost-neutral vs double
+    tokenization; at 100 TB it avoids a second full text scan.)"""
+    doc = load_table(spark, sf_dir, "documents")
+    return track_persist(
+        doc.select(
+            "doc_id",
+            "lang",
+            F.size(tokens_col("text")).cast("long").alias("n_tok"),
+            F.expr(f"doc_id div {RANGE_DOCS}").alias("rid"),
+        )
+    )
+
+
 @query(
     "sequence_packing",
     oracle=f"""
@@ -121,22 +138,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     With RANGE_DOCS 128→1024 this recovers most of the r5 0.27→0.51 s
     two-pass regression; the residual ~0.2 s vs the single-window r4
     shape is the price of bounding the widest window partition, pinned
-    as accepted-by-design in BENCH.md."""
-    doc = load_table(spark, sf_dir, "documents")
-    # persisted: the tokenize-and-count projection feeds BOTH passes
-    # (per-range totals and the local window) — without it the corpus
-    # is tokenized twice. Constant-width rows (doc_id, lang, n_tok,
-    # rid); text itself is never retained or shuffled. (At sf0.1 the
-    # persist is cost-neutral vs double tokenization; at 100 TB it
-    # avoids a second full text scan.)
-    base = track_persist(
-        doc.select(
-            "doc_id",
-            "lang",
-            F.size(tokens_col("text")).cast("long").alias("n_tok"),
-            F.expr(f"doc_id div {RANGE_DOCS}").alias("rid"),
-        )
-    )
+    as accepted-by-design in BENCH.md. The persisted tokenize-and-
+    count projection lives in _pack_base (shared with the scale
+    probe)."""
+    base = _pack_base(spark, sf_dir)
     # pass 2 window first: local prefix within (lang, rid)
     wl = (
         W.partitionBy("lang", "rid")

@@ -386,6 +386,50 @@ WINNOW_K = 3  # tokens per k-gram
 WINNOW_W = 4  # k-gram hashes per winnowing window
 
 
+def _winnow_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, gs, hv) projection + the winnowed ``fps``
+    minima — shared by the query and the scale probe
+    (plans/scale_probes.py) so the probe measures exactly the relation
+    the query builds. The persist boundary is load-bearing: without it
+    Catalyst collapses the projections and INLINES the whole
+    md5-gram-hash expression into every one of the ~|doc| sliding-
+    window slices — measured 56 s instead of 0.6 s at sf0.01. The
+    cached relation materializes (gs, hv) once per doc; the window
+    minima then read plain columns."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    n = F.size(t)
+    grams_raw = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - WINNOW_K, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
+        ),
+    )
+    grams = F.when(n >= WINNOW_K, grams_raw).otherwise(
+        F.array().cast("array<string>")
+    )
+    hv = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+    )
+    return track_persist(
+        doc.select("doc_id", grams.alias("gs"), hv.alias("hv"))
+    ).withColumn(
+        "fps",
+        F.when(
+            F.size("hv") >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("hv") - WINNOW_W, F.lit(-1))
+                    ),
+                    lambda j: F.array_min(F.slice(F.col("hv"), j + 1, WINNOW_W)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+
+
 @query(
     "text_winnowing_fingerprints",
     oracle=f"""
@@ -443,44 +487,11 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: gram hashing and window minima are pure in-row HOFs
     (map-side, codegen); the only shuffle keys are constant-width
     32-bit fingerprints (groupBy with partial counts) and doc_id for
-    the join back — document text never crosses an exchange."""
-    doc = load_table(spark, sf_dir, "documents")
-    t = tokens_col("text")
-    n = F.size(t)
-    grams_raw = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - WINNOW_K, F.lit(-1))),
-        lambda i: F.concat_ws(
-            " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
-        ),
-    )
-    grams = F.when(n >= WINNOW_K, grams_raw).otherwise(
-        F.array().cast("array<string>")
-    )
-    hv = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
-    )
-    # persist boundary: without it Catalyst collapses the projections
-    # and INLINES the whole md5-gram-hash expression into every one of
-    # the ~|doc| sliding-window slices below — measured 56 s instead
-    # of 0.6 s at sf0.01. The cached relation materializes (gs, hv)
-    # once per doc; the window minima then read plain columns.
-    base = track_persist(
-        doc.select("doc_id", grams.alias("gs"), hv.alias("hv"))
-    ).withColumn(
-        "fps",
-        F.when(
-            F.size("hv") >= WINNOW_W,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size("hv") - WINNOW_W, F.lit(-1))
-                    ),
-                    lambda j: F.array_min(F.slice(F.col("hv"), j + 1, WINNOW_W)),
-                )
-            ),
-        ).otherwise(F.array().cast("array<bigint>")),
-    )
+    the join back — document text never crosses an exchange. The
+    persist boundary lives in _winnow_base (shared with the scale
+    probe); tests/test_scale_shapes.py pins that the md5-per-gram
+    chain stays behind it."""
+    base = _winnow_base(spark, sf_dir)
     fp = base.select("doc_id", F.explode("fps").alias("f"))
     cnt = fp.groupBy("f").agg(F.count(F.lit(1)).alias("nd"))
     per = (

@@ -110,6 +110,46 @@ def _walk_executed(node, seen: set):
             pass
 
 
+def _walk_outside_caches(node, seen: set):
+    """Like _walk_executed, but does NOT descend into
+    InMemoryTableScan's cached build plan — yields only the nodes that
+    execute OUTSIDE every persist boundary."""
+    nid = _java_identity(node)
+    if nid in seen:
+        return
+    seen.add(nid)
+    yield node
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _walk_outside_caches(kids.apply(i), seen)
+    for attr in ("executedPlan", "plan"):
+        if hasattr(node, attr):
+            try:
+                yield from _walk_outside_caches(getattr(node, attr)(), seen)
+            except Exception:  # noqa: BLE001 — not every node has the accessor
+                pass
+
+
+def expr_nodes_outside_caches(df: DataFrame, needle: str) -> list[str]:
+    """One-line descriptions of executed-plan nodes OUTSIDE any cached
+    build whose expression text mentions ``needle``. Lets a test pin
+    that an expensive expression stayed behind its persist boundary —
+    a Catalyst projection collapse that re-inlines it (the winnowing
+    56-s lesson) shows up here as the expression in a downstream
+    Project. Call after an action so AQE final stages are walked."""
+    hits = []
+    for node in _walk_outside_caches(
+        df._jdf.queryExecution().executedPlan(), set()
+    ):
+        try:
+            desc = node.simpleString(200)
+        except Exception:  # noqa: BLE001 — fall back to the node name
+            desc = node.nodeName()
+        if needle in desc:
+            hits.append(desc)
+    return hits
+
+
 def executed_shuffle_bytes(df: DataFrame) -> int:
     """Total `shuffleBytesWritten` across every DISTINCT exchange in the
     final (post-AQE) executed plan. Call AFTER an action (collect) —

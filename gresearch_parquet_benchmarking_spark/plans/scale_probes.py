@@ -242,6 +242,54 @@ def probe_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def probe_text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> dict:
+    """Winnowing candidate work = the exploded fingerprint relation
+    (feeds the shared-count groupBy and the join back): selection
+    density is ≈ 2/(w+1) of grams, so fingerprints grow linearly with
+    corpus tokens. The probe reads the SAME persisted (gs, hv, fps)
+    relation the query builds (_winnow_base); the companion test in
+    test_scale_shapes additionally pins that the md5-per-gram chain
+    stays behind that persist boundary (re-inlining measured 56 s vs
+    0.6 s at sf0.01 — the r5 Catalyst projection-collapse lesson)."""
+    from gresearch_parquet_benchmarking_spark.operators.text import _winnow_base
+
+    base = _winnow_base(spark, sf_dir)
+    row = base.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size("fps")).cast("long").alias("fps"),
+    ).collect()[0]
+    out = {"rows": int(row["docs"]), "candidates": int(row["fps"] or 0)}
+    release_persists()
+    return out
+
+
+def probe_sequence_packing(spark: SparkSession, sf_dir: str) -> dict:
+    """Distributed prefix sum (two-pass): candidates = the per-range
+    totals table (pass 1) — corpus_rows/RANGE_DOCS-sized metadata, the
+    only relation the cumulative window ever sees; max_window_rows =
+    the widest (lang, rid) local-window partition, bounded by
+    RANGE_DOCS at ANY corpus size (the whole point of the two-pass
+    shape: no language's token stream lands in one task)."""
+    from gresearch_parquet_benchmarking_spark.operators.pipeline3 import (
+        RANGE_DOCS,
+        _pack_base,
+    )
+
+    base = _pack_base(spark, sf_dir)
+    per_range = base.groupBy("lang", "rid").agg(F.count(F.lit(1)).alias("n"))
+    row = per_range.agg(
+        F.count(F.lit(1)).alias("ranges"), F.max("n").alias("mx")
+    ).collect()[0]
+    out = {
+        "rows": base.count(),
+        "candidates": int(row["ranges"]),
+        "max_window_rows": int(row["mx"]),
+        "bound": RANGE_DOCS,
+    }
+    release_persists()
+    return out
+
+
 PROBES = {
     "dedup_minhash_lsh": probe_dedup_minhash_lsh,
     "ann_ivf_pq_topk": probe_ann_ivf_pq_topk,
@@ -253,6 +301,8 @@ PROBES = {
     "fuzzy_join_part_names": probe_fuzzy_join_part_names,
     "window_ntile_percent": probe_window_ntile_percent,
     "events_inter_arrival_percentiles": probe_events_inter_arrival_percentiles,
+    "text_winnowing_fingerprints": probe_text_winnowing_fingerprints,
+    "sequence_packing": probe_sequence_packing,
 }
 
 

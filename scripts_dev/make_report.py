@@ -47,6 +47,90 @@ from gresearch_parquet_benchmarking_spark.sources import io as eio
 from gresearch_parquet_benchmarking_spark.sources.datagen import wide_table
 
 OUT = "bench_results"
+HOST_SECTION_BEGIN = "<!-- host-normalization:begin -->"
+HOST_SECTION_END = "<!-- host-normalization:end -->"
+
+
+def host_normalization_lines() -> list[str]:
+    """Cross-round host-class normalization table (VERDICT r10 #6):
+    every BENCH_rN.json since r10 carries ``host``/``host_end``
+    micro-indexes (py = single-core loop, py_sat = the same loop
+    32-wide — the Spark-stage load shape). Ratioing one round's index
+    against another's separates host tax from code regressions as a
+    NUMBER: totals drifting by ≈ the sat-index ratio are host phase.
+    Generated from the committed driver artifacts; earlier rounds had
+    no host block and show —."""
+    import glob
+    import json
+    import re
+
+    arts = []
+    for p in sorted(glob.glob("BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            d = json.loads(open(p).read())
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+        if not isinstance(parsed, dict):
+            parsed = {}
+        arts.append((int(m.group(1)), parsed))
+    if not arts:
+        return []
+    # normalize against the newest round that has a host block
+    base = next(
+        (p.get("host", {}).get("py_sat") for _, p in reversed(arts)
+         if isinstance(p.get("host"), dict) and p.get("host", {}).get("py_sat")),
+        None,
+    )
+    lines = [
+        HOST_SECTION_BEGIN,
+        "## Cross-round host normalization (driver BENCH artifacts)",
+        "",
+        "`sat` = py_sat (32-wide saturated interpreter loop, the Spark-stage "
+        "load shape); `sat tax` = py_sat/py (all-core pressure single-core "
+        "probes cannot see); `host idx` = this round's py_sat over the newest "
+        "round's — divide a round's total by its host idx before reading a "
+        "cross-round delta as code. Totals also carry drift_vs_floor (median "
+        "fresh/floor): a uniform >1.3 with empty suspects is the host-phase "
+        "signature (BENCH.md r6/r10).",
+        "",
+        "| round | total s | drift_vs_floor | py | sat | sat tax | host idx |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for rnd, p in arts:
+        total = p.get("value")
+        drift = p.get("drift_vs_floor")
+        host = p.get("host") if isinstance(p.get("host"), dict) else {}
+        py, sat = host.get("py"), host.get("py_sat")
+        tax = round(sat / py, 2) if py and sat else None
+        idx = round(sat / base, 2) if sat and base else None
+        fmt_ = lambda v: "—" if v is None else (f"{v:.3g}" if isinstance(v, float) else str(v))
+        lines.append(
+            f"| r{rnd} | {fmt_(total)} | {fmt_(drift)} | {fmt_(py)} "
+            f"| {fmt_(sat)} | {fmt_(tax)} | {fmt_(idx)} |"
+        )
+    lines += ["", HOST_SECTION_END]
+    return lines
+
+
+def splice_host_section() -> None:
+    """Refresh ONLY the host-normalization table inside an existing
+    REPORT.md (no Spark, no benches — runs in seconds when a new
+    BENCH_rN.json lands). Appends the section if absent."""
+    text = open("REPORT.md").read()
+    block = "\n".join(host_normalization_lines())
+    if HOST_SECTION_BEGIN in text and HOST_SECTION_END in text:
+        pre = text[: text.index(HOST_SECTION_BEGIN)]
+        post = text[text.index(HOST_SECTION_END) + len(HOST_SECTION_END):]
+        text = pre + block + post
+    else:
+        text = text.rstrip("\n") + "\n\n" + block + "\n"
+    with open("REPORT.md", "w") as f:
+        f.write(text)
+    print("spliced host-normalization section into REPORT.md")
 REF = {  # BASELINE.md published values (ms)
     "meta": {10: 0.305, 100: 0.737, 1000: 6.48, 10000: 66.7},
     "stats_on": {10: 0.255, 100: 1.94, 1000: 18.7, 10000: 187.0},
@@ -371,6 +455,9 @@ def main() -> None:
         "",
     ]
 
+    lines += host_normalization_lines()
+    lines += [""]
+
     if bench.SUSPECTS:
         lines.insert(
             4,
@@ -393,4 +480,7 @@ def _arrow(pq, path: str, columns=None) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if "--host-table" in sys.argv:
+        splice_host_section()
+    else:
+        main()

@@ -203,6 +203,21 @@ def test_saturated_loop_median_runs_bare_subprocesses():
     assert 0.05 < v < 30.0
 
 
+def test_saturated_loop_survives_dead_probes(monkeypatch):
+    """A probe subprocess dying (OOM/signal under the very pressure it
+    measures) or printing garbage must not abort the run with
+    ValueError — at the host_end call site that would lose a COMPLETED
+    bench run (ADVICE r10). All-dead probes degrade to NaN."""
+    import math
+
+    monkeypatch.setattr(
+        bench, "_SAT_LOOP_CODE", "import sys; sys.exit(3)"
+    )
+    assert math.isnan(bench._saturated_loop_median(2))
+    monkeypatch.setattr(bench, "_SAT_LOOP_CODE", "print('not-a-float')")
+    assert math.isnan(bench._saturated_loop_median(2))
+
+
 def test_measured_records_timeline_offsets():
     """With RUN_T0 armed, measured() stamps each entry's finish offset
     into bench.AT (full-artifact timeline; the r10 mid-run host-shift

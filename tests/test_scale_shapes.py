@@ -70,6 +70,14 @@ CAND_SLACK = {
     # exactly in test_rank_probe_cardinality_bounded below.
     "window_ntile_percent": 3.0,
     "events_inter_arrival_percentiles": 3.0,
+    # r11 (VERDICT r10 #7): winnowing fingerprints select ≈ 2/(w+1) of
+    # grams — linear in corpus tokens; the persist-boundary pin is the
+    # dedicated test below.
+    "text_winnowing_fingerprints": 3.0,
+    # r11: two-pass prefix sum — candidates = the per-range totals
+    # table (rows/RANGE_DOCS metadata), linear in corpus; the widest
+    # local-window partition is bounded by RANGE_DOCS (test below).
+    "sequence_packing": 3.0,
 }
 # shuffle-growth / rows-growth upper bound (measured: 0.4–1.04;
 # containment's 1.04 includes the per-candidate verification payload,
@@ -140,6 +148,45 @@ def test_rank_probe_cardinality_bounded(spark, name):
             f"{name}@{sf_dir}: offset probe collected {out['candidates']} "
             f"rows, above the claimed plan-constant bound {out['bound']}"
         )
+
+
+def test_sequence_packing_window_partition_bounded(spark):
+    """The two-pass prefix sum's scale claim: the widest (lang, rid)
+    local-window partition holds at most RANGE_DOCS rows at BOTH SFs —
+    no language's token stream ever lands in one task."""
+    from gresearch_parquet_benchmarking_spark.plans.scale_probes import PROBES
+
+    for sf_dir in (SF_SMALL, SF_BIG):
+        out = PROBES["sequence_packing"](spark, sf_dir)
+        assert out["max_window_rows"] <= out["bound"], (
+            f"sequence_packing@{sf_dir}: a (lang, rid) window partition "
+            f"holds {out['max_window_rows']} rows, above RANGE_DOCS "
+            f"{out['bound']} — the prefix-sum range contract is broken"
+        )
+
+
+def test_winnowing_md5_stays_behind_persist(spark):
+    """The winnowing persist boundary is load-bearing: if a refactor
+    (or a Catalyst change) re-inlines the md5-per-gram chain into the
+    sliding-window slices, the executed plan shows md5 in a Project
+    OUTSIDE the cached build — measured 56 s vs 0.6 s at sf0.01
+    (CLAUDE.md projection-collapse lesson)."""
+    from gresearch_parquet_benchmarking_spark.operators.registry import (
+        all_queries,
+        release_persists,
+    )
+    from gresearch_parquet_benchmarking_spark.plans.explain import (
+        expr_nodes_outside_caches,
+    )
+
+    df = all_queries()["text_winnowing_fingerprints"](spark, SF_SMALL)
+    df.collect()
+    hits = expr_nodes_outside_caches(df, "md5(")
+    release_persists()
+    assert hits == [], (
+        "md5-per-gram chain escaped the persist boundary into "
+        f"{len(hits)} executed node(s): {hits[:2]}"
+    )
 
 
 def test_interval_overlap_candidates_linear_in_timespan(spark):
