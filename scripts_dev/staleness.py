@@ -40,6 +40,22 @@ def main() -> None:
         for q in by_round[rnd]:
             print("  ", q)
 
+    # Next-window proposal: never-checked first, then oldest-signal
+    # first (ledger order within a cohort) — the exact rule every
+    # rotation since r9 followed. Risk-reordering within the window is
+    # the planner's call; the SET should match this list. The standing
+    # bound (test_registry_window.test_standing_staleness_bound) fails
+    # if any query lags the newest artifact by >5 rounds.
+    latest = max(last.values(), default=0)
+    ranked = [n for n in all_queries() if n not in last] + sorted(
+        (n for n in all_queries() if n in last), key=lambda n: last[n]
+    )
+    proposal = ranked[:50]
+    print(f"\n== proposed next window (50 of {len(ranked)}; newest artifact r{latest}) ==")
+    for n in proposal:
+        tag = "NEVER" if n not in last else f"r{last[n]}"
+        print(f"   {tag:5s} {n}")
+
 
 if __name__ == "__main__":
     main()

@@ -32,7 +32,9 @@ AUDIT_SKIP_PREFIX = "stream_"
 
 # The documented Python surface: multimodal decode/feature/resize/
 # frame-sample run vectorized pandas kernels over mapInPandas by
-# design (SURVEY §2.8; the codec is a swappable deterministic stub).
+# design (SURVEY §2.8; since r11 the decode is a real byte-level
+# container parser — multimodal.parse_container — still the one
+# sanctioned Python surface, unchanged set per VERDICT r10 #4).
 PYTHON_ALLOWED = {
     "multimodal_decode_features",
     "multimodal_resize",
