@@ -218,6 +218,38 @@ def test_saturated_loop_survives_dead_probes(monkeypatch):
     assert math.isnan(bench._saturated_loop_median(2))
 
 
+def test_warm_circuit_orders_one_untimed_pass_first(monkeypatch):
+    """VERDICT r10 #3: with the circuit ON (default), bench_queries
+    executes EVERY query once before any trial (suite-warm JVM), then
+    trials with warmups=0 — same 4 executions per key as the old
+    per-key-warmup ordering, which ENGINE_BENCH_WARM_CIRCUIT=0
+    restores."""
+    seq: list[str] = []
+    monkeypatch.setattr(bench, "HEADLINE", ["a", "b"])
+    monkeypatch.setattr(bench, "FULL_ONLY_QUERIES", [])
+    monkeypatch.setattr(bench, "all_queries", lambda: {"a": "fa", "b": "fb"})
+    monkeypatch.setattr(bench, "release_persists", lambda: None)
+    monkeypatch.setattr(
+        bench, "_run_query_once", lambda fn, spark, sf: (seq.append(fn), 0.1)[1]
+    )
+    bench.HISTORY.clear()
+
+    monkeypatch.delenv("ENGINE_BENCH_WARM_CIRCUIT", raising=False)
+    out = bench.bench_queries(None, "/x/sf0.1")
+    assert set(out) == {"a", "b"}
+    # one full untimed pass, THEN 3 trials per key
+    assert seq == ["fa", "fb", "fa", "fa", "fa", "fb", "fb", "fb"]
+
+    seq.clear()
+    bench.HISTORY.clear()
+    monkeypatch.setenv("ENGINE_BENCH_WARM_CIRCUIT", "0")
+    bench.bench_queries(None, "/x/sf0.1")
+    # old ordering: per-key warmup immediately before that key's trials
+    assert seq == ["fa", "fa", "fa", "fa", "fb", "fb", "fb", "fb"]
+    bench.HISTORY.clear()
+    bench.DRIFT_RATIOS.clear()
+
+
 def test_measured_records_timeline_offsets():
     """With RUN_T0 armed, measured() stamps each entry's finish offset
     into bench.AT (full-artifact timeline; the r10 mid-run host-shift
