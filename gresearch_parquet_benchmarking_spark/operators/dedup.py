@@ -828,6 +828,30 @@ COV_GRAM = 8        # token-gram length for substring-coverage scan
 COV_HIGH_RATE = 0.5  # "mostly duplicated elsewhere" flag threshold
 
 
+def _coverage_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted gram-occurrence relation (doc_id, source, g) — the
+    candidate set of the substring-coverage scan, shared by the query
+    and the scale probe (plans/scale_probes.py): ~token-count rows,
+    exploded ONCE, constant-width md5 gram keys."""
+    corpus = _corpus(spark, sf_dir, "excerpt")
+    toks = corpus.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= COV_GRAM)
+    occ = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(COV_GRAM - 1))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(F.expr(f"concat_ws(' ', slice(t, i, {COV_GRAM}))")).alias("g"),
+    )
+    return track_persist(occ)
+
+
 @query(
     "dedup_substring_coverage",
     oracle=f"""
@@ -889,23 +913,7 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer gram counts; per-doc rates are one IEEE
     division; the per-source mean decimal-accumulates the rates
     (rule 1)."""
-    corpus = _corpus(spark, sf_dir, "excerpt")
-    toks = corpus.select(
-        "doc_id", "source", F.split("text", " ").alias("t")
-    ).filter(F.size("t") >= COV_GRAM)
-    occ = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.sequence(F.lit(1), F.size("t") - F.lit(COV_GRAM - 1))
-        ).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        "source",
-        F.md5(F.expr(f"concat_ws(' ', slice(t, i, {COV_GRAM}))")).alias("g"),
-    )
-    occ = track_persist(occ)
+    occ = _coverage_occ(spark, sf_dir)
     dup = (
         occ.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))

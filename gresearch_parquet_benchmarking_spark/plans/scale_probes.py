@@ -242,6 +242,24 @@ def probe_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def probe_dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> dict:
+    """Gram-occurrence cardinality of the substring-coverage scan: the
+    corpus explodes to ~token-count rows EXACTLY ONCE (candidates =
+    |occ|, linear in corpus tokens); the dup-gram set then reduces on
+    constant-width md5 keys. A regression that exploded per-pair or
+    re-exploded per consumer would show here as super-linear growth."""
+    from gresearch_parquet_benchmarking_spark.operators.dedup import _coverage_occ
+
+    occ = _coverage_occ(spark, sf_dir)
+    row = occ.agg(
+        F.count_distinct("doc_id").alias("docs"),
+        F.count(F.lit(1)).alias("grams"),
+    ).collect()[0]
+    out = {"rows": int(row["docs"]), "candidates": int(row["grams"])}
+    release_persists()
+    return out
+
+
 def probe_text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> dict:
     """Winnowing candidate work = the exploded fingerprint relation
     (feeds the shared-count groupBy and the join back): selection
@@ -303,6 +321,7 @@ PROBES = {
     "events_inter_arrival_percentiles": probe_events_inter_arrival_percentiles,
     "text_winnowing_fingerprints": probe_text_winnowing_fingerprints,
     "sequence_packing": probe_sequence_packing,
+    "dedup_substring_coverage": probe_dedup_substring_coverage,
 }
 
 

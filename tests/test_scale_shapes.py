@@ -78,6 +78,9 @@ CAND_SLACK = {
     # table (rows/RANGE_DOCS metadata), linear in corpus; the widest
     # local-window partition is bounded by RANGE_DOCS (test below).
     "sequence_packing": 3.0,
+    # r11: gram occurrences explode to ~token-count rows exactly once —
+    # linear in corpus tokens by construction.
+    "dedup_substring_coverage": 3.0,
 }
 # shuffle-growth / rows-growth upper bound (measured: 0.4–1.04;
 # containment's 1.04 includes the per-candidate verification payload,
