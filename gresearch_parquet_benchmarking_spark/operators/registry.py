@@ -65,79 +65,70 @@ def query(
 # — not Python import order, which any direct module import can perturb
 # — decides which queries get hard driver signal.
 #
-# Round 11 (VERDICT r10 "Next round" #1, rotation planned in CLAUDE.md
-# during r10, verified against scripts_dev/staleness.py after
-# CORRECTNESS_r10 landed): ALL 45 remaining r6-stale rows + the 5
-# riskiest r7-stale. Ordering within the window: the six r6-stale
-# streaming rows first (_run_to_table's progress loop changed in r9 —
-# these are the only r6 rows whose execution machinery changed since
-# their last signal), then the three r7-stale trending-module streaming
-# rows (same machinery), then dedup_containment_bottomk (candidate rule
-# rewritten r8) and graph_pagerank_bipartite (iterative), then the
-# multimodal pack (decode kernel replaced with a real byte-level
-# decoder THIS round — needs fresh driver signal), then the remaining
-# r6-stale batch packs. After this round nothing is staler than r7;
-# r12 takes the remaining 45 r7-stale + 5 oldest r8-stale.
+# Round 12 (VERDICT r11 "Next round" #1, rotation planned in CLAUDE.md
+# during r11, verified against scripts_dev/staleness.py after
+# CORRECTNESS_r11 landed): ALL 43 remaining r7-stale rows + the 7
+# oldest r8-stale, ledger order — EXCEPT dedup_multimodal_phash is
+# promoted to the front: its decode kernel changed in r11 (real byte
+# parser) AND again in r12 (RIFF/WAVE audio container), so it is the
+# only row whose semantics moved twice since its last driver hash.
+# After this round nothing is staler than r8; r13 takes the remaining
+# 38 r8-stale + the 5 multimodal_* rows (r11-signal but the container
+# format changed in r12) + the 7 oldest r9-stale.
 _WINDOW_PRIORITY = [
-    # r6-stale streaming pack (6) — riskiest: progress loop changed r9
-    "stream_dedup_incremental",
-    "stream_centroid_assign",
-    "stream_funnel_stateful",
-    "stream_funnel_buffered_ooo",
-    "stream_late_data_audit",
-    "stream_user_latest_state",
-    # r7-stale riskiest (5): trending module rides _run_to_table too;
-    # containment's candidate rule is the r8 rewrite; pagerank iterates
-    "stream_topk_trending",
-    "stream_psi_value_drift",
-    "stream_integrity_checksum",
-    "dedup_containment_bottomk",
-    "graph_pagerank_bipartite",
-    # r6-stale multimodal pack (5) — decode kernel replaced in r11
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_size_by_kind",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # r6-stale relational pack (8)
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    # r6-stale text pack (9)
-    "text_token_stats",
-    "text_term_frequency",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "doc_stats_by_lang_source",
-    "text_subword_tokens",
-    "text_tfidf_top_terms",
-    "text_winnowing_fingerprints",
-    # r6-stale report pack (6)
-    "json_extract_events",
-    "events_by_day",
-    "events_pivot_by_type",
-    "sessionization",
-    "asof_join_purchase_click",
-    "range_join_price_bands",
-    # r6-stale profile (1)
-    "profile_lineitem_columns",
-    # r6-stale relational2 pack (10)
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "merge_upsert_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_customers",
-    "q2_cheapest_per_brand",
-    "q4_priority_with_big_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue_ratio",
-    "q21_multi_supplier_orders",
+    # riskiest first: kernel changed r11 (byte parser) + r12 (RIFF)
+    "dedup_multimodal_phash",
+    # r7-stale, ledger order (42)
+    "events_scd2_intervals",
+    "asof_join_tolerance",
+    "sample_weighted_aes",
+    "orders_ewma_forecast",
+    "lineitem_weighted_median_price",
+    "events_ab_uplift_ztest",
+    "dedup_substring_coverage",
+    "layout_partition_pruned_scan",
+    "skew_key_histogram",
+    "events_daily_anomaly_mad",
+    "sketch_kmv_setops",
+    "sketch_quantile_histogram",
+    "mixture_temperature_sampling",
+    "bpe_top_merges",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_kcore_bounded",
+    "graph_brand_modularity",
+    "quality_gopher_rules",
+    "text_novelty_coverage",
+    "text_zipf_fit",
+    "tokenizer_fertility_by_lang",
+    "quality_filter_ablation",
+    "ann_mmr_diversified_topk",
+    "embedding_neardup_threshold_sweep",
+    "ann_range_search",
+    "embedding_matryoshka_recall",
+    "ann_hard_negative_mining",
+    "ann_knn_classifier_eval",
+    "ann_rrf_fusion",
+    "embedding_int8_quant_error",
+    "ann_binary_hamming_recall",
+    "text_bm25_search",
+    "fuzzy_join_part_names",
+    "retrieval_ndcg_bm25",
+    "dq_constraint_suite",
+    "events_freshness_lag",
+    "dq_benford_order_prices",
+    "drift_ks_doc_length",
+    "drift_psi_doc_length",
+    "drift_embedding_centroid",
+    "drift_token_jsd",
+    # the 7 oldest r8-stale, ledger order
+    "join_full_outer",
+    "join_cross_small",
+    "window_running_total",
+    "window_lag_lead",
+    "window_moving_avg",
+    "topk_per_group",
+    "agg_distinct",
 ]
 assert len(_WINDOW_PRIORITY) == 50 and len(set(_WINDOW_PRIORITY)) == 50
 
@@ -202,12 +193,13 @@ def _ensure_loaded() -> None:
     # decided by _WINDOW_PRIORITY + _MODULE_ORDER, not import order —
     # imports here only trigger registration.)
     #
-    # Round-11 window (r10 VERDICT "Next round" #1): all 45 remaining
-    # r6-stale + the 5 riskiest r7-stale. See _WINDOW_PRIORITY above.
-    # r12 rotation plan (exact list in CLAUDE.md, written before the
-    # window fills): the 45 remaining r7-stale rows + the 5 oldest
-    # r8-stale = exactly 50. Update tests/test_registry_window.py when
-    # rotating.
+    # Round-12 window (r11 VERDICT "Next round" #1): all 43 remaining
+    # r7-stale + the 7 oldest r8-stale. See _WINDOW_PRIORITY above.
+    # r13 rotation plan (exact list in CLAUDE.md, written before the
+    # window fills): the remaining 38 r8-stale rows + the 5
+    # multimodal_* rows (container format changed in r12) + the 7
+    # oldest r9-stale = exactly 50. Update tests/test_registry_window.py
+    # when rotating.
     # Everything outside the window stays pinned by the local
     # full-registry gate (scripts_dev/check_queries.py).
     from gresearch_parquet_benchmarking_spark.operators import (  # noqa: F401

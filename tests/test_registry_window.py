@@ -19,35 +19,37 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-11 window (VERDICT r10 "Next round" #1, rotation planned in
-# CLAUDE.md during r10): ALL 45 remaining r6-stale rows + the 5 riskiest
-# r7-stale (the three trending-module streaming rows ride the same
-# _run_to_table machinery that changed in r9; dedup_containment_bottomk
-# runs the r8-rewritten candidate rule; graph_pagerank_bipartite is
-# iterative). The canonical list lives in registry._WINDOW_PRIORITY;
-# these tests pin that the listing honors it AND that the composition
-# matches the staleness ledger in the committed CORRECTNESS artifacts.
+# Round-12 window (VERDICT r11 "Next round" #1, rotation planned in
+# CLAUDE.md during r11): ALL 43 remaining r7-stale rows + the 7 oldest
+# r8-stale, in staleness-ledger order, with dedup_multimodal_phash
+# promoted to slot 0 (its decode kernel changed in both r11 and r12 —
+# the only row whose semantics moved twice since its last driver hash).
+# The canonical list lives in registry._WINDOW_PRIORITY; these tests
+# pin that the listing honors it AND that the composition matches the
+# staleness ledger in the committed CORRECTNESS artifacts.
 MUST_BE_IN_WINDOW = list(_WINDOW_PRIORITY)
 
-# The 5 r7-stale rows granted slots ahead of the staleness ledger's
-# strict ordering (riskiest machinery, per the written plan).
-R7_RISKIEST = {
-    "stream_topk_trending",
-    "stream_psi_value_drift",
-    "stream_integrity_checksum",
-    "dedup_containment_bottomk",
-    "graph_pagerank_bipartite",
+# The 7 r8-stale rows granted slots after the r7 cohort (oldest in the
+# ledger, per the written plan).
+R8_OLDEST = {
+    "join_full_outer",
+    "join_cross_small",
+    "window_running_total",
+    "window_lag_lead",
+    "window_moving_avg",
+    "topk_per_group",
+    "agg_distinct",
 }
 
 # Rotation discipline bound (VERDICT r10 "Next round" #2): once the
 # window rotates every round, no registered query's last driver signal
 # may lag the newest committed CORRECTNESS artifact by more than
-# MAX_STALENESS rounds. After r10 the oldest signal is r6 (lag 4);
+# MAX_STALENESS rounds. After r11 the oldest signal is r7 (lag 4);
 # each planned rotation keeps the lag at 4 — 5 is the tripwire.
 MAX_STALENESS = 5
 
 
-def test_round11_window_composition():
+def test_round12_window_composition():
     names = list(all_queries())
     window = names[:WINDOW]
     assert window == MUST_BE_IN_WINDOW, (
@@ -82,36 +84,36 @@ def _latest_committed_round() -> int:
     return max(rounds, default=0)
 
 
-def test_round11_window_slots_justified():
+def test_round12_window_slots_justified():
     """Every window slot must go to (a) a never-driver-checked query,
-    (b) an r6-stale query (the stalest cohort after r10), or (c) one of
-    the 5 named riskiest r7-stale rows. No slot may be wasted on a
+    (b) an r7-stale query (the stalest cohort after r11), or (c) one of
+    the 7 named oldest r8-stale rows. No slot may be wasted on a
     fresher query."""
-    last = _last_driver_signal(through_round=10)
+    last = _last_driver_signal(through_round=11)
     if not last:  # artifacts absent in a bare checkout — nothing to pin
         return
     wasted = [
         n
         for n in MUST_BE_IN_WINDOW
-        if n in last and last[n] != 6 and n not in R7_RISKIEST
+        if n in last and last[n] != 7 and n not in R8_OLDEST
     ]
     assert wasted == [], f"window slots wasted on fresh queries: {wasted}"
-    r7 = [n for n in MUST_BE_IN_WINDOW if last.get(n) == 7]
-    assert set(r7) == R7_RISKIEST, (
-        f"r7 slots must be exactly the named riskiest five, got: {sorted(r7)}"
+    r8 = [n for n in MUST_BE_IN_WINDOW if last.get(n) == 8]
+    assert set(r8) == R8_OLDEST, (
+        f"r8 slots must be exactly the named oldest seven, got: {sorted(r8)}"
     )
 
 
-def test_round11_window_covers_all_r6_stale():
-    """The r6-stale cohort must be retired COMPLETELY this round —
-    after r11 no registered query's last signal predates r7."""
-    last = _last_driver_signal(through_round=10)
+def test_round12_window_covers_all_r7_stale():
+    """The r7-stale cohort must be retired COMPLETELY this round —
+    after r12 no registered query's last signal predates r8."""
+    last = _last_driver_signal(through_round=11)
     if not last:
         return
     registered = set(all_queries())
-    oldest = sorted(n for n, r in last.items() if r == 6 and n in registered)
+    oldest = sorted(n for n, r in last.items() if r == 7 and n in registered)
     missing = [n for n in oldest if n not in set(MUST_BE_IN_WINDOW)]
-    assert missing == [], f"r6-stale queries left out of the window: {missing}"
+    assert missing == [], f"r7-stale queries left out of the window: {missing}"
 
 
 def test_standing_staleness_bound():
