@@ -32,6 +32,7 @@ BASELINE analog map (values in seconds here; BASELINE.md is ms):
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import subprocess
@@ -299,6 +300,16 @@ _SAT_LOOP_CODE = (
 )
 
 
+def _max_ignoring_nan(batches: list[float]) -> float | None:
+    """Max of the batch medians, skipping NaN (a batch whose probes all
+    died) — bare max() propagates NaN, which would poison the index and
+    serialize as non-JSON ``NaN`` in the compact line, defeating the
+    don't-lose-a-completed-run goal (ADVICE r11). All batches dead →
+    None (json null)."""
+    vals = [v for v in batches if not math.isnan(v)]
+    return round(max(vals), 3) if vals else None
+
+
 def _saturated_loop_median(width: int) -> float:
     """Median per-process time of ``width`` concurrent interpreter
     loops, each in its own bare ``python -c`` subprocess (no heavy
@@ -389,8 +400,10 @@ def host_index() -> dict[str, float]:
         # shape; py_sat/py is the per-run saturation tax. max of the
         # two batches — BENCH.md reads py_sat/py as the run's pressure
         # UPPER bound, and min would bias the tax estimate low when
-        # pressure fluctuates between batches (ADVICE r10)
-        "py_sat": round(max(_saturated_loop_median(width) for _ in range(2)), 3),
+        # pressure fluctuates between batches (ADVICE r10).
+        "py_sat": _max_ignoring_nan(
+            [_saturated_loop_median(width) for _ in range(2)]
+        ),
         "mm": round(min(_mm() for _ in range(3)), 3),
         "io": round(min(_read() for _ in range(3)), 3),
     }

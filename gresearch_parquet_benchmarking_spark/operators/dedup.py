@@ -1002,7 +1002,7 @@ def _phash_batch(batch):
     ),
     sig AS (
         SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/ppm'
-                                            WHEN 1 THEN 'audio/wavt'
+                                            WHEN 1 THEN 'audio/wav'
                                             ELSE 'video/mvid' END AS kind,
                substr(md5(substr(trim(regexp_replace(lower(text),
                           '\\s+', ' ', 'g')), 1, {PHASH_PREFIX_CHARS})),

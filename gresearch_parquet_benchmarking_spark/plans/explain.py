@@ -142,7 +142,12 @@ def expr_nodes_outside_caches(df: DataFrame, needle: str) -> list[str]:
         df._jdf.queryExecution().executedPlan(), set()
     ):
         try:
-            desc = node.simpleString(200)
+            # wide field bound: a truncated Project (simpleString(200))
+            # can cut off before the needle appears — exactly the
+            # wide-projection regression this gate exists to catch —
+            # letting the persist-boundary test pass silently
+            # (ADVICE r11)
+            desc = node.simpleString(1_000_000)
         except Exception:  # noqa: BLE001 — fall back to the node name
             desc = node.nodeName()
         if needle in desc:

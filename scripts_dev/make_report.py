@@ -77,6 +77,11 @@ def host_normalization_lines() -> list[str]:
         if not isinstance(parsed, dict):
             parsed = {}
         arts.append((int(m.group(1)), parsed))
+    # numeric order — lexical glob order only works while artifact
+    # names stay zero-padded (r01..r99); an unpadded BENCH_r12.json or
+    # r100+ would misorder rows and pick the wrong normalization base
+    # (ADVICE r11)
+    arts.sort(key=lambda t: t[0])
     if not arts:
         return []
     # normalize against the newest round that has a host block

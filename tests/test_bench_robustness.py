@@ -232,7 +232,11 @@ def test_warm_circuit_orders_one_untimed_pass_first(monkeypatch):
     monkeypatch.setattr(
         bench, "_run_query_once", lambda fn, spark, sf: (seq.append(fn), 0.1)[1]
     )
-    bench.HISTORY.clear()
+    # swap in fresh containers so a mid-test assertion failure can't
+    # leak fake 'a'/'b' history into later bench tests (ADVICE r11) —
+    # monkeypatch restores the real objects even on failure
+    monkeypatch.setattr(bench, "HISTORY", {})
+    monkeypatch.setattr(bench, "DRIFT_RATIOS", {})
 
     monkeypatch.delenv("ENGINE_BENCH_WARM_CIRCUIT", raising=False)
     out = bench.bench_queries(None, "/x/sf0.1")
@@ -246,8 +250,21 @@ def test_warm_circuit_orders_one_untimed_pass_first(monkeypatch):
     bench.bench_queries(None, "/x/sf0.1")
     # old ordering: per-key warmup immediately before that key's trials
     assert seq == ["fa", "fa", "fa", "fa", "fb", "fb", "fb", "fb"]
-    bench.HISTORY.clear()
-    bench.DRIFT_RATIOS.clear()
+
+
+def test_py_sat_max_skips_dead_batches():
+    """ADVICE r11: a probe batch whose subprocesses all died yields
+    NaN; max() must skip it (NaN would serialize as non-JSON `NaN` in
+    the compact line). All-dead degrades to None (json null), never
+    NaN."""
+    nan = float("nan")
+    assert bench._max_ignoring_nan([nan, 0.5]) == 0.5
+    assert bench._max_ignoring_nan([0.4, nan]) == 0.4
+    assert bench._max_ignoring_nan([0.4, 0.62]) == 0.62
+    assert bench._max_ignoring_nan([nan, nan]) is None
+    import json
+
+    assert json.dumps(bench._max_ignoring_nan([nan, nan])) == "null"
 
 
 def test_measured_records_timeline_offsets():

@@ -1,25 +1,64 @@
-"""Unit pins for the real byte-level container decoder (VERDICT r10 #4).
+"""Unit pins for the real byte-level container decoder (VERDICT r10 #4;
+audio upgraded to real RIFF/WAVE PCM per VERDICT r11 #4).
 
 The oracle gate proves the decoded features match the header-declared
 values end-to-end; these tests pin the parser's behavior on inputs the
 synthetic corpus never produces — malformed headers, unknown magic,
-truncated/inflated bodies — where decode_ok=False is the contract (a
-parser that crashed or guessed would poison a 100 TB ingest)."""
+truncated/inflated bodies, corrupt RIFF chunk tables — where
+decode_ok=False is the contract (a parser that crashed or guessed
+would poison a 100 TB ingest)."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 from gresearch_parquet_benchmarking_spark.operators.multimodal import (
     KIND_AUDIO,
     KIND_IMAGE,
     KIND_VIDEO,
+    WAV_HEADER_BYTES,
     parse_container,
 )
 
 
 def _img(body: bytes, w: int = 3, h: int = 2, maxval: int = 255) -> bytes:
     return f"P6\n{w} {h}\n{maxval}\n".encode() + body
+
+
+def _wav(
+    body: bytes,
+    rate: int = 8000,
+    *,
+    audio_fmt: int = 1,
+    channels: int = 1,
+    bits: int = 8,
+    declared: int | None = None,
+    riff_size: int | None = None,
+) -> bytes:
+    """Reference PCM WAV writer, independent of the Spark builder —
+    canonical 44-byte header, mono 8-bit unless overridden."""
+    n = len(body) if declared is None else declared
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", (36 + len(body)) if riff_size is None else riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            audio_fmt,
+            channels,
+            rate,
+            rate * channels * (bits // 8),
+            channels * (bits // 8),
+            bits,
+        )
+        + b"data"
+        + struct.pack("<I", n)
+    )
+    assert declared is not None or riff_size is not None or len(hdr) == WAV_HEADER_BYTES
+    return hdr + body
 
 
 def test_image_roundtrip():
@@ -29,13 +68,33 @@ def test_image_roundtrip():
     assert out["body"] == b"hello world" and out["ok"]
 
 
-def test_audio_roundtrip_duration():
+def test_audio_riff_roundtrip_duration():
     body = b"x" * 16000
-    out = parse_container(b"WAVT\nrate 8000\nlen 16000\n" + body)
+    out = parse_container(_wav(body, rate=8000))
     assert out["kind"] == KIND_AUDIO
     assert out["sample_rate"] == 8000
     assert out["duration_ms"] == 2000  # 16000 8-bit mono samples @ 8 kHz
     assert out["body"] == body and out["ok"]
+
+
+def test_audio_riff_extra_chunk_is_walked():
+    # a LIST chunk between fmt and data — real WAV files carry these;
+    # the chunk walker must skip it (word-aligned) and still find data
+    body = b"pcm-bytes!"
+    base = _wav(body)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded odd size
+    payload = (
+        base[:36]  # through end of fmt chunk
+        + extra
+        + base[36:]  # data chunk + body
+    )
+    # fix the RIFF size for the inserted chunk
+    payload = (
+        payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    )
+    out = parse_container(payload)
+    assert out["kind"] == KIND_AUDIO and out["ok"]
+    assert out["body"] == body
 
 
 def test_video_roundtrip():
@@ -47,7 +106,7 @@ def test_video_roundtrip():
 
 
 def test_declared_length_mismatch_fails_closed():
-    assert not parse_container(b"WAVT\nrate 8000\nlen 99\nshort")["ok"]
+    assert not parse_container(_wav(b"short", declared=99))["ok"]
     assert not parse_container(b"MVID\nframes 2\nlen 1\nsize 4 4\nlong")["ok"]
 
 
@@ -58,18 +117,35 @@ def test_unknown_magic_and_garbage():
         assert out["body"] == b""
 
 
+def test_malformed_riff_fails_closed():
+    good = _wav(b"hello")
+    # truncated: RIFF magic only / header cut mid-fmt
+    assert not parse_container(b"RIFF")["ok"]
+    assert not parse_container(good[:20])["ok"]
+    # wrong form type (RIFF but not WAVE)
+    assert not parse_container(good[:8] + b"AVI " + good[12:])["ok"]
+    # missing data chunk
+    assert not parse_container(good[:36])["ok"]
+    # wrong riff size
+    assert not parse_container(_wav(b"hello", riff_size=7))["ok"]
+    # unsupported profile: stereo, 16-bit, non-PCM format tag
+    assert not parse_container(_wav(b"hello", channels=2))["ok"]
+    assert not parse_container(_wav(b"hellohello", bits=16))["ok"]
+    assert not parse_container(_wav(b"hello", audio_fmt=3))["ok"]
+    # all still identify the container as audio (magic matched)
+    assert parse_container(good[:20])["kind"] == KIND_AUDIO
+
+
 def test_malformed_headers_fail_closed():
-    # non-numeric dims, missing maxval line, wrong field name
+    # non-numeric dims, missing maxval line, wrong maxval
     assert not parse_container(b"P6\nx y\n255\nbody")["ok"]
     assert not parse_container(b"P6\n3 2")["ok"]
-    assert not parse_container(b"WAVT\nrate 8000\nsize 5\nhello")["ok"]
-    # wrong maxval is parsed but rejected
     assert not parse_container(_img(b"body", maxval=15))["ok"]
 
 
 def test_empty_body_not_ok():
     assert not parse_container(_img(b""))["ok"]
-    assert not parse_container(b"WAVT\nrate 8000\nlen 0\n")["ok"]
+    assert not parse_container(_wav(b""))["ok"]
 
 
 def test_body_md5_matches_oracle_convention():

@@ -47,7 +47,7 @@ def test_quantile_histogram_bound_holds(spark):
 
 def test_multimodal_phash_catches_planted_variants(spark):
     rows = _rows(spark, "dedup_multimodal_phash")
-    assert {r.kind for r in rows} == {"image/ppm", "audio/wavt", "video/mvid"}
+    assert {r.kind for r in rows} == {"image/ppm", "audio/wav", "video/mvid"}
     # every 25th doc is planted as a case/whitespace variant — the
     # perceptual hash must see duplicates the exact byte hash misses
     assert sum(r.n_dup_groups for r in rows) > 0
