@@ -308,6 +308,51 @@ def probe_sequence_packing(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def _streaming_state_probe(name: str):
+    """Probe factory for streaming queries (r12, VERDICT r11 #5): run
+    the registered query's full replay and harvest the state-store
+    row counts _run_to_table captured from recentProgress. "rows" is
+    the INPUT event count (several streaming results are 1-row
+    rollups, so output cardinality can't anchor the growth ratio);
+    "candidates" is the peak Σ numRowsTotal across batches — the
+    bounded-state claim watermark eviction makes."""
+
+    def probe(spark: SparkSession, sf_dir: str) -> dict:
+        from gresearch_parquet_benchmarking_spark.sources.events import (
+            load_events,
+        )
+        from gresearch_parquet_benchmarking_spark.streaming.events_stream import (
+            drain_state_metrics,
+        )
+
+        drain_state_metrics()  # clear any prior run's capture
+        df = all_queries()[name](spark, sf_dir)
+        df.collect()
+        runs = drain_state_metrics()
+        release_persists()
+        return {
+            "rows": load_events(spark, sf_dir).count(),
+            "candidates": max((r["peak_state_rows"] for r in runs), default=0),
+            "final_state_rows": max(
+                (r["final_state_rows"] for r in runs), default=0
+            ),
+            "n_batches": sum(r["n_batches"] for r in runs),
+        }
+
+    return probe
+
+
+# Streaming state-growth probes: NOT in PROBES/measure() — the batch
+# shuffle-bytes leg reads the executed plan of the returned frame,
+# which for streaming queries is just the memory-sink scan. These get
+# their own near-linearity test (tests/test_scale_shapes.py).
+STATE_PROBES = {
+    "stream_stream_join": _streaming_state_probe("stream_stream_join"),
+    "stream_funnel_buffered_ooo": _streaming_state_probe(
+        "stream_funnel_buffered_ooo"
+    ),
+}
+
 PROBES = {
     "dedup_minhash_lsh": probe_dedup_minhash_lsh,
     "ann_ivf_pq_topk": probe_ann_ivf_pq_topk,

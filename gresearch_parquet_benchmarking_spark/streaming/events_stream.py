@@ -82,10 +82,25 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # second streaming run.
 _CAPTURED_PLANS: list[str] = []
 
+# Per-run state-store metrics harvested from recentProgress at
+# termination (r12, VERDICT r11 #5): one dict per _run_to_table call —
+# peak and final Σ numRowsTotal across the run's state operators.
+# plans/scale_probes.py drains this to assert state grows near-linearly
+# with input between SFs (the bounded-state claim watermark eviction
+# makes; a probe seeing super-linear peak state means eviction is not
+# keeping up and a 100 TB replay would OOM its state stores).
+_CAPTURED_STATE: list[dict] = []
+
 
 def drain_captured_plans() -> list[str]:
     out = list(_CAPTURED_PLANS)
     _CAPTURED_PLANS.clear()
+    return out
+
+
+def drain_state_metrics() -> list[dict]:
+    out = list(_CAPTURED_STATE)
+    _CAPTURED_STATE.clear()
     return out
 
 
@@ -141,6 +156,25 @@ def _run_to_table(
                         f"streaming query {name} did not finish within 300s; "
                         "refusing to return a partially-populated memory table"
                     )
+            try:
+                # recentProgress retains every batch of these bounded
+                # replays (default retention 100 ≫ replay batch counts)
+                per_batch = [
+                    sum(
+                        int(so["numRowsTotal"])
+                        for so in (p["stateOperators"] or [])
+                    )
+                    for p in (q.recentProgress or [])
+                ]
+                _CAPTURED_STATE.append(
+                    {
+                        "peak_state_rows": max(per_batch, default=0),
+                        "final_state_rows": per_batch[-1] if per_batch else 0,
+                        "n_batches": len(per_batch),
+                    }
+                )
+            except Exception:  # noqa: BLE001 — metrics capture is best-effort
+                pass
         finally:
             q.stop()
     finally:

@@ -136,6 +136,35 @@ def test_scale_shape_near_linear(spark, name):
 
 
 @pytest.mark.parametrize(
+    "name", ["stream_stream_join", "stream_funnel_buffered_ooo"]
+)
+def test_streaming_state_near_linear(spark, name):
+    """Streaming state-growth probe (r12, VERDICT r11 #5): the 13 batch
+    probes pin candidate/shuffle scaling, but stateful streaming has
+    its own 100 TB liability — state-store rows. Peak Σ numRowsTotal
+    (from recentProgress, captured by _run_to_table) must grow
+    near-linearly with the input between SFs: watermark eviction keeps
+    the join's 30-min interval state and the funnel's per-user buffers
+    bounded by input density, never accumulating the whole stream."""
+    from gresearch_parquet_benchmarking_spark.plans.scale_probes import (
+        STATE_PROBES,
+    )
+
+    small = STATE_PROBES[name](spark, SF_SMALL)
+    big = STATE_PROBES[name](spark, SF_BIG)
+    rows_g = big["rows"] / max(small["rows"], 1)
+    state_g = big["candidates"] / max(small["candidates"], 1)
+    assert rows_g > 2, f"{name}: SFs did not scale the input ({rows_g:.1f}x)"
+    assert small["candidates"] > 0 and big["candidates"] > 0, (
+        f"{name}: no state metrics captured ({small} / {big})"
+    )
+    assert state_g <= 3.0 * rows_g, (
+        f"{name}: peak state rows grew {state_g:.1f}x for {rows_g:.1f}x input "
+        f"(bound 3x rows growth) — watermark eviction is not bounding state"
+    )
+
+
+@pytest.mark.parametrize(
     "name", ["window_ntile_percent", "events_inter_arrival_percentiles"]
 )
 def test_rank_probe_cardinality_bounded(spark, name):
