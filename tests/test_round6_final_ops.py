@@ -45,6 +45,41 @@ def test_quantile_histogram_bound_holds(spark):
         assert r.n_rows > 0
 
 
+def test_spark_built_wav_parses_with_stdlib_wave(spark):
+    """Real-world container pin (r12): the audio payloads the Spark
+    builder emits are genuine RIFF/WAVE PCM files — Python's stdlib
+    ``wave`` reader (a THIRD-PARTY parser sharing no code with
+    multimodal.parse_container) must open every one and agree on the
+    PCM profile and sample count the header declares."""
+    import io
+    import wave
+
+    from gresearch_parquet_benchmarking_spark.operators.multimodal import (
+        KIND_AUDIO,
+        attach_binary_payload,
+    )
+    from gresearch_parquet_benchmarking_spark.sources.tables import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    rows = (
+        attach_binary_payload(doc)
+        .filter("meta.kind = '%s'" % KIND_AUDIO)
+        .select("doc_id", "payload")
+        .limit(50)
+        .collect()
+    )
+    assert rows, "no audio assets at the smoke SF"
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r.payload))) as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 1  # 8-bit
+            assert w.getcomptype() == "NONE"  # PCM
+            n = len(bytes(r.payload)) - 44
+            assert w.getnframes() == n
+            assert w.getframerate() == 8000 + (n % 8) * 1000
+            assert len(w.readframes(n)) == n
+
+
 def test_multimodal_phash_catches_planted_variants(spark):
     rows = _rows(spark, "dedup_multimodal_phash")
     assert {r.kind for r in rows} == {"image/ppm", "audio/wav", "video/mvid"}
