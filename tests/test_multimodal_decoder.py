@@ -148,6 +148,49 @@ def test_empty_body_not_ok():
     assert not parse_container(_wav(b""))["ok"]
 
 
+def test_parse_container_total_on_arbitrary_bytes():
+    """The 100 TB ingest contract: the decoder NEVER raises — any byte
+    string yields a typed feature dict with ok=False at worst.
+    Property-based over arbitrary bytes plus adversarial mutations of
+    valid containers (truncations, bit flips in the header region)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def check(payload: bytes) -> None:
+        out = parse_container(payload)
+        assert isinstance(out["ok"], bool)
+        assert out["kind"] in ("unknown", KIND_IMAGE, KIND_AUDIO, KIND_VIDEO)
+        assert isinstance(out["body"], bytes)
+        for f in ("width", "height", "n_frames", "sample_rate", "duration_ms"):
+            assert isinstance(out[f], int)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def fuzz_raw(payload):
+        check(payload)
+
+    seeds = [
+        _img(b"pixels", w=9, h=9),
+        _wav(b"x" * 100, rate=11000),
+        b"MVID\nframes 3\nlen 5\nsize 8 6\nhello",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sampled_from(seeds),
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=64),
+    )
+    def fuzz_mutated(seed, pos, byte, trunc):
+        mutated = seed[:pos] + bytes([byte]) + seed[pos + 1 :]
+        check(mutated)
+        check(mutated[: len(mutated) - trunc])
+
+    fuzz_raw()
+    fuzz_mutated()
+
+
 def test_body_md5_matches_oracle_convention():
     # engine emits int(md5(body)[:8], 16); DuckDB twin is
     # ('0x' || substr(md5(text), 1, 8))::BIGINT over the source text
