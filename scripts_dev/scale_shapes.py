@@ -6,6 +6,9 @@ Usage: python scripts_dev/scale_shapes.py [sf_small sf_big]
        python scripts_dev/scale_shapes.py --axis   # production-axis
        table (BENCH.md r8): 10x timespan / 10 disjoint-vocab domains
        at constant density — candidate work must grow ~linearly
+       python scripts_dev/scale_shapes.py --state  # streaming
+       state-store growth table (BENCH.md r12): peak numRowsTotal
+       must track input near-linearly (watermark eviction bound)
 """
 
 from __future__ import annotations
@@ -55,9 +58,35 @@ def main_axis() -> None:
         print(f"| {name} | {axis} | {rg:.1f}× | {cg:.1f}× | {cg / rg:.2f} |")
 
 
+def main_state() -> None:
+    """Streaming state-store growth (VERDICT r11 #5): peak
+    Σ numRowsTotal across the replay's batches vs input rows."""
+    from gresearch_parquet_benchmarking_spark.plans.scale_probes import (
+        STATE_PROBES,
+    )
+
+    sf_small = "/root/testdata/sf0.01"
+    sf_big = "/root/testdata/sf0.1"
+    spark = get_spark()
+    print("| op | input rows | peak state rows | growth | batches |")
+    print("|---|---|---|---|---|")
+    for name, probe in STATE_PROBES.items():
+        s, b = probe(spark, sf_small), probe(spark, sf_big)
+        rg = b["rows"] / max(s["rows"], 1)
+        sg = b["candidates"] / max(s["candidates"], 1)
+        print(
+            f"| {name} | {s['rows']:,}→{b['rows']:,} ({rg:.1f}×) "
+            f"| {s['candidates']:,}→{b['candidates']:,} | {sg:.2f}× "
+            f"| {s['n_batches']}→{b['n_batches']} |"
+        )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--axis":
         main_axis()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--state":
+        main_state()
         return
     sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sf_big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
