@@ -99,7 +99,11 @@ def attach_binary_payload(doc: DataFrame) -> DataFrame:
     image/audio table would carry. The checksum is md5 over the
     payload's lowercase hex: DuckDB has no BLOB hash, so both engines
     hash the identical hex STRING of the same bytes (repo rule: cross-
-    engine hashing is md5-only)."""
+    engine hashing is md5-only). Scale note: hex() transiently doubles
+    the payload in memory — an oracle-compat cost only; a production
+    deployment md5s the raw bytes (F.md5(payload)) and drops the hex
+    hop. Catalyst prunes the field entirely for consumers that never
+    read it (verified: the phash plan contains zero md5 nodes)."""
     body = F.encode(F.col("text"), "utf-8")
     n = F.octet_length(body).cast("long")
     w, h = _dims(n)
