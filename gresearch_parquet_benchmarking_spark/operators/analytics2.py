@@ -538,6 +538,14 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WMEDIAN_RANGES = 32  # prefix-sum range partitions (the ABC_RANGES
+                     # convention): output is range-count-invariant —
+                     # base offsets come from the actual per-range
+                     # decimal totals, so any count ≥ 1 is exact; size
+                     # it so |distinct prices|/WMEDIAN_RANGES stays
+                     # executor-sized at scale.
+
+
 @query(
     "lineitem_weighted_median_price",
     oracle="""
@@ -591,25 +599,73 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
     byprice = li.groupBy(
         "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("price")
     ).agg(dsum("l_quantity", scale=2, alias="w"))
-    grp = W.partitionBy("l_returnflag", "l_linestatus")
+    # r12 optimization round: the cumulative / total windows used to be
+    # PARTITION BY (l_returnflag, l_linestatus) — six partitions, i.e.
+    # a hidden SinglePartition×6 processing |distinct prices| rows in
+    # at most 6 tasks at any scale. Graduated to the orders_abc_pareto
+    # two-pass prefix-sum: repartitionByRange on (group, price) keeps
+    # each group's price order contiguous across ranges, the running
+    # decimal sum runs per (group, range) with ≤ 6·WMEDIAN_RANGES
+    # per-range decimal totals collected as a bounded scalar probe and
+    # re-entering as exact decimal-string literals (decimal addition
+    # is associative, so offset + local prefix ≡ the single-window
+    # prefix bit-for-bit). The group total becomes a plain 6-row
+    # aggregate broadcast back (same decimal terms as the old
+    # full-partition window → identical double). The crossing row is
+    # MIN(price) over qualifying rows — cumw is strictly increasing in
+    # price (quantities are positive), so MIN(price | cumw ≥ 0.5·tot)
+    # IS the old rank-1 row. The persist is correctness-critical:
+    # repartitionByRange samples its bounds, so the probe and the
+    # window must read the same materialized range assignment.
+    ranged = track_persist(
+        byprice.repartitionByRange(
+            WMEDIAN_RANGES, "l_returnflag", "l_linestatus", "price"
+        ).withColumn("rid", F.spark_partition_id())
+    )
+    rtots = sorted(
+        ranged.groupBy("l_returnflag", "l_linestatus", "rid")
+        .agg(F.sum(F.col("w").cast("decimal(27,2)")).alias("rtot"))
+        .collect(),
+        key=lambda r: (r["l_returnflag"], r["l_linestatus"], r["rid"]),
+    )
+    base_off: dict[tuple, str] = {}
+    running_by_grp: dict[tuple, object] = {}
+    for r in rtots:
+        g = (r["l_returnflag"], r["l_linestatus"])
+        base_off[(g[0], g[1], r["rid"])] = str(running_by_grp.get(g, 0))
+        running_by_grp[g] = running_by_grp.get(g, 0) + r["rtot"]
+    off_map = F.create_map(
+        *[
+            x
+            for (rf, ls, rid), off in base_off.items()
+            for x in (F.concat_ws("|", F.lit(rf), F.lit(ls), F.lit(rid)), F.lit(off))
+        ]
+    )
+    tots = byprice.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("w").cast("decimal(27,2)")).cast("double").alias("tot")
+    )
+    wloc = (
+        W.partitionBy("l_returnflag", "l_linestatus", "rid")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    okey = F.concat_ws(
+        "|", F.col("l_returnflag"), F.col("l_linestatus"), F.col("rid")
+    )
     cumw = (
-        F.sum(F.col("w").cast("decimal(27,2)"))
-        .over(grp.orderBy("price"))
-        .cast("double")
-    )
-    tot = F.sum(F.col("w").cast("decimal(27,2)")).over(grp).cast("double")
-    cum = byprice.select(
-        "l_returnflag", "l_linestatus", "price", "w",
-        cumw.alias("cumw"), tot.alias("tot"),
-    )
-    rn = F.row_number().over(grp.orderBy("price"))
+        F.element_at(off_map, okey).cast("decimal(38,2)")
+        + F.sum(F.col("w").cast("decimal(27,2)")).over(wloc)
+    ).cast("double")
+    cum = ranged.select(
+        "l_returnflag", "l_linestatus", "price", cumw.alias("cumw")
+    ).join(F.broadcast(tots), ["l_returnflag", "l_linestatus"])
     return (
         cum.filter(F.col("cumw") >= 0.5 * F.col("tot"))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
+        .groupBy("l_returnflag", "l_linestatus", "tot")
+        .agg(F.min("price").alias("weighted_median_price"))
         .select(
             "l_returnflag", "l_linestatus",
-            F.col("price").alias("weighted_median_price"),
+            "weighted_median_price",
             F.round("tot", 2).alias("total_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -491,6 +491,37 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RK_BASE = 4_294_967_296  # 2^32: rank key = degree*2^32 + node, collision-free
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Distinct co-purchase part pairs {u < v} from (l_orderkey,
+    l_partkey) rows — per-order part sets + in-row pair expansion (r12
+    optimization round, guide §2.4): the former lineitem⋈lineitem
+    self-join on l_orderkey shuffled the relation twice and joined
+    before deduplicating; one hash aggregate per order plus the
+    _pair_postings-style nested transform yields the identical pair
+    set with a single exchange. The per-order C(n,2) fanout happens
+    in-row, bounded by order width — the same bound the join had
+    (array_sort(collect_set) makes every generated pair strictly
+    ascending, matching the join's l_partkey < p2 predicate). Shared
+    by triangle count, k-core, brand modularity and link prediction."""
+    ps = F.array_sort(F.collect_set("l_partkey"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(ps.alias("ps"))
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+    )
+
+
 def _oriented_copurchase(spark: SparkSession, sf_dir: str):
     """(pairs, deg, oriented) for the part co-purchase graph, each
     persisted via track_persist: distinct undirected edges, per-node
@@ -502,14 +533,7 @@ def _oriented_copurchase(spark: SparkSession, sf_dir: str):
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
-    pairs = track_persist(
-        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
-        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
-        .distinct()
-    )
+    pairs = track_persist(_copurchase_pairs(li))
     deg = track_persist(
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -705,12 +729,7 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
-    edges = track_persist(
-        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
-        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
-        .distinct()
-    )
+    edges = track_persist(_copurchase_pairs(li))
     prev_edges = None
     keep_count = edges_count = None
     prev_edge_count_col = None
@@ -811,13 +830,7 @@ def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
-    pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
+    pairs = _copurchase_pairs(li)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cu = part.select(F.col("p_partkey").alias("uk"), F.col("p_brand").alias("bu"))
     cv = part.select(F.col("p_partkey").alias("vk"), F.col("p_brand").alias("bv"))
@@ -945,12 +958,7 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
-    pairs = track_persist(
-        li.join(b, (li.l_orderkey == b.o2) & (li.l_partkey < b.p2))
-        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
-        .distinct()
-    )
+    pairs = track_persist(_copurchase_pairs(li))
     adj = track_persist(
         pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
             pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))

@@ -1068,13 +1068,29 @@ def _sem_agreement_sql() -> str:
 
 
 def _sem_clustering(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, eager_centroids: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The SemDeDup clustering shared by the query and its scale probe:
     persisted corpus + SEM_ITERS two-level Lloyd iterations. Returns
     (assigned, fcell, kval) at the FINAL iteration — assigned is
     (vec_id, v, nv, c_id); fcell maps each fine centroid to its coarse
-    cell; kval is the 1-row (kv, gv) frame."""
+    cell; kval is the 1-row (kv, gv) frame.
+
+    ``eager_centroids`` (r12 optimization round): materialize each
+    DERIVED centroid table (iterations > 0) into a persisted K-row
+    cache before fanning out. The updated centroid table has 2-4
+    consumers, each a separate broadcast-build subtree (seeds, the
+    fcell cell map, and — in the agreement audit — the flat centroid
+    array), and broadcast builds do NOT share exchange output across
+    jobs: without the barrier every consumer re-executes the FULL
+    prior-iteration E-step + M-step lineage, so the clustering work
+    multiplies by the consumer count (measured: agreement cold-cache
+    ~90 s vs ~8 s). The persist is K rows × dim doubles — model-sized,
+    not corpus-sized — and the eager count() closes the r9 lazy-cache
+    race (broadcast subtrees racing to populate an unbuilt cache).
+    The r9 in-warm-regime A/B that rejected eager persist predates the
+    agreement audit's extra consumer; re-measured r12 (BENCH.md) the
+    barrier wins for every caller."""
     vec = track_persist(
         _vectors_spread(spark, sf_dir)
         .select("vec_id", "v")
@@ -1146,17 +1162,19 @@ def _sem_clustering(
                     / F.count(F.lit(1))
                 ).alias("cx")
             )
-            # NO persist boundary here, by A/B (the _vectors_spread
-            # lesson: broadcast subtrees race to populate an unbuilt
-            # cache): persisting the updated centroid table measured
-            # ~4.6 s vs ~3.9 s unpersisted at sf0.1 — while the flat
-            # one-level rule measured 7.9 s in the same cold-corpus
-            # harness. In bench.py's warm-trial regime the extra
-            # broadcast-subtree jobs dominate instead and the row
-            # costs ~2.0-2.6 s vs flat's 0.98 — accepted as fixed
-            # overhead that amortizes at 100x; eager-persisted
-            # centroids (3.06 s) and a members broadcast-join
-            # (2.9 s) both measured slower (BENCH.md r9).
+            # r12 revision of the r9 "no persist boundary" A/B: the
+            # updated centroid table is consumed by 3-4 separate
+            # broadcast-build subtrees (seeds, fcell, cell_map, and
+            # the agreement audit's flat centroid array), and each
+            # build re-executes the full prior-iteration E+M lineage —
+            # at corpus scale that multiplies the dominant O(N·√k)
+            # E-step by the consumer count. eager_centroids (default)
+            # materializes the K-row table once behind a persist +
+            # count() barrier (the count closes the r9 lazy-cache
+            # race). Interleaved A/B r12 (scripts_dev/ab_sem_eager.py):
+            # agreement 14.63 → 7.68 s median; dedup_semantic pays
+            # ~0.27 s of barrier latency in the warm-trial regime —
+            # accepted for the 1×-E-step shape (BENCH.md r12).
             centroids = (
                 dims.groupBy("c_id")
                 .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
@@ -1165,6 +1183,9 @@ def _sem_clustering(
                     F.transform("pairs", lambda p: p["cx"]).alias("cv"),
                 )
             )
+            if eager_centroids:
+                centroids = track_persist(centroids)
+                centroids.count()  # materialize BEFORE the consumers fan out
     return assigned, fcell, kval
 
 
