@@ -696,28 +696,46 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)) — the co-purchase
     signal behind recommendations and assortment planning.
 
-    Scale shape: the pair join is WITHIN an order (orders hold a
-    handful of lines, so per-key fanout is bounded ~lines²/2 — the
-    same bounded-explode contract as dedup_chunk_boilerplate), keyed
-    on the order key; pair counting and the two singles joins shuffle
-    on constant-width part keys with map-side partials; the order
-    count broadcasts. Lift is a per-row double ratio of exact
-    integers."""
+    Scale shape (r12 optimization round, guide §2.3/§2.4): ONE hash
+    aggregate builds per-order part sets (collect_set dedups in-map,
+    subsuming the old standalone DISTINCT), persisted because FOUR
+    consumers read it (order count, singles ×2, pairs) — the former
+    shape re-executed the lineitem DISTINCT subtree once per consumer
+    (5 scans + shuffles per run) and materialized candidate pairs
+    through a lineitem⋈lineitem self-join (two more corpus shuffles).
+    Pairs now expand IN-ROW from the sorted set (the _pair_postings /
+    graph._copurchase_pairs idiom) — strictly ascending (part_a <
+    part_b) by construction, bounded ~lines²/2 per order, identical
+    pair multiset to the self-join. Pair counting and the two singles
+    joins shuffle constant-width part keys with map-side partials;
+    the order count broadcasts. Lift is a per-row double ratio of
+    exact integers."""
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
-    li = (
+    baskets = track_persist(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    singles = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    singles = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)

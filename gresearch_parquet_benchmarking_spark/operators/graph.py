@@ -314,7 +314,9 @@ def _pagerank_sql() -> str:
 
 
 @query("graph_pagerank_bipartite", oracle=_pagerank_sql)
-def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank_bipartite(
+    spark: SparkSession, sf_dir: str, eager_ranks: bool = True
+) -> DataFrame:
     """PageRank over the customer↔supplier trade graph (edges = who
     bought from whom via orders⋈lineitem, symmetrized, weight = line
     count), {PR_ITERS} damped power iterations — the importance
@@ -383,6 +385,21 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+        # r12 optimization round (guide §3.3 plan truncation + §5):
+        # materialize each iteration's |nodes|-row rank table behind a
+        # persist + count() barrier. Without it the PR_ITERS join+agg
+        # lineages nest into ONE deep AQE plan whose per-iteration
+        # edge⋈rank join must be planned against an unsized derived
+        # relation; with it every iteration joins the persisted edge
+        # cache against a known-size model-sized table (AQE then picks
+        # the broadcast build deliberately), and re-planning cost stays
+        # constant per iteration instead of growing with the chain.
+        # The barrier changes execution order only — mass/teleport
+        # arithmetic is untouched, ranks stay bit-identical (A/B +
+        # oracle re-gate in OPTIMIZATION_r12.md).
+        if eager_ranks:
+            ranks = track_persist(ranks)
+            ranks.count()
     top = ranks.orderBy(F.desc("pr"), F.asc("node")).limit(PR_TOP)
     wr = W.orderBy(F.desc("pr"), F.asc("node"))
     return (

@@ -602,10 +602,26 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization round (guide §2.3 aggregate-before-shuffle): a
+    # direct rollup expands every input row ×3 grouping sets BEFORE
+    # the partial aggregate. Pre-aggregating to the finest (flag,
+    # status) grain first shrinks the Expand input from |lineitem| to
+    # ≤ |flag×status| rows; the outer rollup then re-sums the exact
+    # decimal partials (decimal addition is associative, count → sum
+    # of counts), so every output value is bit-identical. Both key
+    # columns are TPC-H NOT NULL, so rollup NULL markers cannot
+    # collide with data NULLs.
     li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("dq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity", alias="sum_qty"), F.count(F.lit(1)).alias("n"))
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("dq").cast("double").alias("sum_qty"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
         .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
     )
 
@@ -622,10 +638,21 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same two-level shape as agg_rollup (r12): pre-aggregate to the
+    # finest grain, cube the tiny aggregate, re-sum exact decimals.
+    # Both keys are TPC-H NOT NULL, so cube NULL markers are
+    # unambiguous.
     od = _t(spark, sf_dir, "orders")
+    base = od.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)")).alias("dp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
-        od.cube("o_orderstatus", "o_orderpriority")
-        .agg(dsum("o_totalprice", alias="sum_price"), F.count(F.lit(1)).alias("n"))
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("dp").cast("double").alias("sum_price"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
         .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
     )
 

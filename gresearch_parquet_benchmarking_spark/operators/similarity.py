@@ -1785,10 +1785,22 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.14 vs cosine truth before this normalization). The per-element
     # division mirrors the oracle's x / sqrt(list_dot_product(v, v))
     # exactly.
+    # r12 optimization round: evaluate the norm ONCE per row. A
+    # higher-order lambda body is evaluated per ELEMENT, so the former
+    # transform(v, x -> x / l2_norm(v)) re-ran the full d-element norm
+    # fold for every element — O(d²) per row on the path that feeds
+    # the whole PQ pipeline (sub → codebook → codes → ADC).
+    # array_repeat evaluates its element argument once per row;
+    # dividing by the identical double is bit-identical to the old
+    # expression (oracle re-gated at sf0.001/0.01).
     vecn = vec.select(
         "vec_id",
         "label",
-        F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v"),
+        F.zip_with(
+            F.col("v"),
+            F.array_repeat(l2_norm(F.col("v")), F.size(F.col("v"))),
+            lambda x, n: x / n,
+        ).alias("v"),
     )
     sub = _pq_sub(vecn)
     # persist the 80-row codebook: it feeds BOTH the broadcast argmin

@@ -123,7 +123,6 @@ LOW_CARD_WINDOW_ALLOWED = {
     "events_daily_anomaly": "z-scores over the per-(type, day) daily rollup (types × days rows)",
     "events_peak_concurrency": "two-pass hour-binned running sum: hour window over the 24-rows/day base grid; local window over one (day, hr) cell of boundary rows — arrival-rate-bounded per cell, bin can narrow",
     "events_value_twap_daily": "lead() within one (event_type, day_num) cell — time-sliced, arrival-rate-bounded per cell",
-    "lineitem_weighted_median_price": "cumulative over per-(group, price) aggregate — bounded by the price DOMAIN, not row count (docstring)",
     "orders_cohort_ltv": "cumulative over the per-(cohort_month, offset) aggregate grid (months² rows)",
     "sequence_packing": "pass-1 cumulative over per-(lang, rid) RANGE TOTALS — corpus/RANGE_DOCS metadata rows (the two-pass design's own base-offset table); a multi-level scan is the recursion if that tier ever dominates",
 }
