@@ -212,6 +212,26 @@ COMPACT_IO_KEYS = [
     "join_bucketed_colocated", "join_shuffle_baseline",
     "layout_zorder_lineitem", "layout_compact_lineitem",
 ]
+# The tail of COMPACT_IO_KEYS that is engine diagnostics rather than a
+# BASELINE.md §1/§2/§5/§7 comparable. The compact-line trimmer (main())
+# evicts these first, then suspect NAMES, and only then a BASELINE
+# comparable — so a contended day's long contention_suspects list can
+# never again blind the driver to the io grid (VERDICT r12 #2: 35
+# suspect names evicted all 28 io keys from the driver-visible JSON).
+COMPACT_IO_DIAG_KEYS = COMPACT_IO_KEYS[-6:]
+# Names shown in the compact line even on a clean day; the full sorted
+# list always lands in the full artifact, and suspects_n carries the
+# true count regardless of trimming.
+SUSPECTS_COMPACT_MAX = 8
+
+
+def _sig4(v: float) -> float:
+    """Round a seconds value to 4 significant digits (but never wider
+    than round(.,4)) — the compact line's last-resort width compressor
+    before a BASELINE io comparable would have to spill."""
+    if v >= 1:
+        return round(v, max(0, 4 - len(str(int(v)))))
+    return round(v, 4)
 TAIL_BUDGET = 1900  # driver tail capture is ~2000 bytes (BENCH_r0*.json)
 
 TRIALS = 3
@@ -1003,22 +1023,47 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     compact = dict(payload)
-    # timeline + end-index stay out of the compact line (TAIL_BUDGET)
+    # timeline + end-index + the constant full-artifact pointer stay out
+    # of the compact line (TAIL_BUDGET; the path is documented in
+    # BENCH.md and carried inside the full artifact itself)
     compact.pop("at")
     compact.pop("host_end")
+    compact.pop("full")
+    # Suspects cap (VERDICT r12 #2): the r12 driver run's 35-name list
+    # (~900 B of host diagnostics) drained every COMPACT_IO_KEYS entry
+    # from the printed line. The compact line now carries the COUNT
+    # (suspects_n, never trimmed) plus at most SUSPECTS_COMPACT_MAX
+    # names; the full sorted list is in the full artifact.
+    compact["suspects_n"] = len(SUSPECTS)
+    compact["contention_suspects"] = sorted(SUSPECTS)[:SUSPECTS_COMPACT_MAX]
     keep = [k for k in results if k in HEADLINE or k in COMPACT_IO_KEYS]
-    # Trim io detail first, in REVERSE COMPACT_IO_KEYS priority — the
-    # list is ordered BASELINE-grid comparables first, layout/join
-    # diagnostics last, so a long contention_suspects list evicts
-    # layout rows, never a BASELINE comparable like io_fullread_10000c
-    # (the r9 cold run dropped it by measurement order).
+    # Trim priority (tightest-budget first to drop): 1) layout/join
+    # diagnostic io rows (reverse COMPACT_IO_KEYS order), 2) suspect
+    # NAMES (count survives), 3) BASELINE-grid comparables — reached
+    # only if the headline set alone overflows the window.
     spill = sorted(
         (k for k in keep if k not in HEADLINE), key=COMPACT_IO_KEYS.index
     )
+    spill_base = [k for k in spill if k not in COMPACT_IO_DIAG_KEYS]
+    spill_diag = [k for k in spill if k in COMPACT_IO_DIAG_KEYS]
     compact["queries"] = {k: round(results[k], 4) for k in keep}
     line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > TAIL_BUDGET and spill:
-        compact["queries"].pop(spill.pop())
+    if len(line) > TAIL_BUDGET:
+        # First lever: compress printed precision to 4 significant
+        # digits (≤0.01% relative error — print-only; the full artifact
+        # keeps round(.,4)).
+        compact["queries"] = {
+            k: _sig4(v) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > TAIL_BUDGET and spill_diag:
+        compact["queries"].pop(spill_diag.pop())
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > TAIL_BUDGET and compact["contention_suspects"]:
+        compact["contention_suspects"].pop()
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > TAIL_BUDGET and spill_base:
+        compact["queries"].pop(spill_base.pop())
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

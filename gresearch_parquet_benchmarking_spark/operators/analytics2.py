@@ -628,6 +628,13 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
         .collect(),
         key=lambda r: (r["l_returnflag"], r["l_linestatus"], r["rid"]),
     )
+    # Probe-coverage invariant (ADVICE r12): the off_map/tot_map below
+    # are only exact because they were computed from the SAME
+    # materialized range assignment the window reads — the persist on
+    # `ranged` above is load-bearing. element_at under ANSI fails loud
+    # on a missing (group, rid) key; this catches the probe silently
+    # returning nothing at all (e.g. the persist edited away).
+    assert rtots, "wmedian range probe returned no rows — persisted range assignment missing"
     base_off: dict[tuple, str] = {}
     running_by_grp: dict[tuple, object] = {}
     for r in rtots:
@@ -641,8 +648,18 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
             for x in (F.concat_ws("|", F.lit(rf), F.lit(ls), F.lit(rid)), F.lit(off))
         ]
     )
-    tots = byprice.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("w").cast("decimal(27,2)")).cast("double").alias("tot")
+    # r13 (ADVICE r12): the per-group totals are the probe's final
+    # running sums — Python Decimal additions of Spark decimal partials,
+    # exact, the SAME terms the old `byprice.groupBy(group).sum` would
+    # re-aggregate from a second full lineitem scan. Embed them as a map
+    # literal (decimal-string → decimal(38,2) → double, the identical
+    # cast chain) instead of re-scanning + broadcast-joining.
+    tot_map = F.create_map(
+        *[
+            x
+            for (rf, ls), tot in running_by_grp.items()
+            for x in (F.concat_ws("|", F.lit(rf), F.lit(ls)), F.lit(str(tot)))
+        ]
     )
     wloc = (
         W.partitionBy("l_returnflag", "l_linestatus", "rid")
@@ -652,13 +669,18 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
     okey = F.concat_ws(
         "|", F.col("l_returnflag"), F.col("l_linestatus"), F.col("rid")
     )
+    gkey = F.concat_ws("|", F.col("l_returnflag"), F.col("l_linestatus"))
     cumw = (
         F.element_at(off_map, okey).cast("decimal(38,2)")
         + F.sum(F.col("w").cast("decimal(27,2)")).over(wloc)
     ).cast("double")
     cum = ranged.select(
-        "l_returnflag", "l_linestatus", "price", cumw.alias("cumw")
-    ).join(F.broadcast(tots), ["l_returnflag", "l_linestatus"])
+        "l_returnflag",
+        "l_linestatus",
+        "price",
+        cumw.alias("cumw"),
+        F.element_at(tot_map, gkey).cast("decimal(38,2)").cast("double").alias("tot"),
+    )
     return (
         cum.filter(F.col("cumw") >= 0.5 * F.col("tot"))
         .groupBy("l_returnflag", "l_linestatus", "tot")

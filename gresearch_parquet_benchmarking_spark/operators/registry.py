@@ -65,70 +65,69 @@ def query(
 # — not Python import order, which any direct module import can perturb
 # — decides which queries get hard driver signal.
 #
-# Round 12 (VERDICT r11 "Next round" #1, rotation planned in CLAUDE.md
-# during r11, verified against scripts_dev/staleness.py after
-# CORRECTNESS_r11 landed): ALL 43 remaining r7-stale rows + the 7
-# oldest r8-stale, ledger order — EXCEPT dedup_multimodal_phash is
-# promoted to the front: its decode kernel changed in r11 (real byte
-# parser) AND again in r12 (RIFF/WAVE audio container), so it is the
-# only row whose semantics moved twice since its last driver hash.
-# After this round nothing is staler than r8; r13 takes the remaining
-# 38 r8-stale + the 5 multimodal_* rows (r11-signal but the container
-# format changed in r12) + the 7 oldest r9-stale.
+# Round 13 (VERDICT r12 "Next round" #3, rotation planned in CLAUDE.md
+# during r12, verified against scripts_dev/staleness.py after
+# CORRECTNESS_r12 landed): the 38 remaining r8-stale rows + the 5
+# multimodal_* rows (r11 driver signal, but the audio container went
+# WAVT→RIFF/WAVE in r12 so no driver hash exists for the current
+# payload semantics) + the 7 oldest r9-stale, all in ledger order.
+# After this round nothing is staler than r9; r14 takes the remaining
+# 43 r9-stale + the 7 oldest r10-stale.
 _WINDOW_PRIORITY = [
-    # riskiest first: kernel changed r11 (byte parser) + r12 (RIFF)
-    "dedup_multimodal_phash",
-    # r7-stale, ledger order (42)
-    "events_scd2_intervals",
-    "asof_join_tolerance",
-    "sample_weighted_aes",
-    "orders_ewma_forecast",
-    "lineitem_weighted_median_price",
-    "events_ab_uplift_ztest",
-    "dedup_substring_coverage",
-    "layout_partition_pruned_scan",
-    "skew_key_histogram",
-    "events_daily_anomaly_mad",
-    "sketch_kmv_setops",
-    "sketch_quantile_histogram",
-    "mixture_temperature_sampling",
-    "bpe_top_merges",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_kcore_bounded",
-    "graph_brand_modularity",
-    "quality_gopher_rules",
-    "text_novelty_coverage",
-    "text_zipf_fit",
-    "tokenizer_fertility_by_lang",
-    "quality_filter_ablation",
-    "ann_mmr_diversified_topk",
-    "embedding_neardup_threshold_sweep",
-    "ann_range_search",
-    "embedding_matryoshka_recall",
-    "ann_hard_negative_mining",
-    "ann_knn_classifier_eval",
-    "ann_rrf_fusion",
-    "embedding_int8_quant_error",
-    "ann_binary_hamming_recall",
-    "text_bm25_search",
-    "fuzzy_join_part_names",
-    "retrieval_ndcg_bm25",
-    "dq_constraint_suite",
-    "events_freshness_lag",
-    "dq_benford_order_prices",
-    "drift_ks_doc_length",
-    "drift_psi_doc_length",
-    "drift_embedding_centroid",
-    "drift_token_jsd",
-    # the 7 oldest r8-stale, ledger order
-    "join_full_outer",
-    "join_cross_small",
-    "window_running_total",
-    "window_lag_lead",
-    "window_moving_avg",
-    "topk_per_group",
-    "agg_distinct",
+    # r8-stale, ledger order (38)
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats_moments",
+    "agg_conditional",
+    "having_filter",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "sort_limit_viewer",
+    "multi_key_sort",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "case_when_recode",
+    "pivot_avg",
+    "unpivot_long",
+    "corr_matrix",
+    "subquery_above_avg",
+    "in_subquery",
+    "correlated_exists_agg",
+    "events_markov_transitions",
+    "orders_seasonality_trailing",
+    "basket_part_affinity",
+    "supplier_concentration_hhi",
+    "event_funnel_latency",
+    "events_top_paths",
+    "events_peak_concurrency",
+    "events_value_twap_daily",
+    "event_attribution_linear",
+    "customer_order_streaks",
+    "orders_date_spine_fill",
+    "integrity_partition_checksums",
+    "snapshot_diff_orders",
+    "orders_abc_pareto",
+    "orders_cohort_ltv",
+    "supplier_otd_scorecard",
+    "events_stickiness_dau_wau",
+    "events_bot_screen",
+    # multimodal payload semantics changed r12 (RIFF/WAVE upgrade) —
+    # the r11 hashes no longer cover the current container bytes (5)
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_by_kind",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # the 7 oldest r9-stale, ledger order
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
 ]
 assert len(_WINDOW_PRIORITY) == 50 and len(set(_WINDOW_PRIORITY)) == 50
 

@@ -26,13 +26,14 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def run_window(spark, eager: bool) -> list[float]:
-    graph.graph_pagerank_bipartite.__defaults__ = (eager,)
+    # explicit keyword, not __defaults__ mutation (ADVICE r12): this
+    # stays correct even if @query ever wraps the builder
     times = []
     for i in range(4):
         t0 = time.perf_counter()
-        graph.graph_pagerank_bipartite(spark, SF).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        graph.graph_pagerank_bipartite(spark, SF, eager_ranks=eager).write.format(
+            "noop"
+        ).mode("overwrite").save()
         dt = time.perf_counter() - t0
         if i > 0:
             times.append(dt)

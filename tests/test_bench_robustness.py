@@ -124,25 +124,37 @@ def _compact_line(results: dict, suspects: list | None = None) -> tuple[dict, st
     test_compact_line_* below failing if the constants drift)."""
     import json
 
+    suspects = suspects or []
     compact = {
         "metric": "headline_queries_plus_io_median_total",
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "sf": 0.1,
-        "contention_suspects": suspects or [],
+        "suspects_n": len(suspects),
+        "contention_suspects": sorted(suspects)[: bench.SUSPECTS_COMPACT_MAX],
         "drift_vs_floor": 123.456,  # worst-case width
         "host": {"py": 123.456, "py_sat": 123.456, "mm": 123.456, "io": 123.456},
-        "full": "bench_results/bench_full_latest.json",
     }
     keep = [k for k in results if k in bench.HEADLINE or k in bench.COMPACT_IO_KEYS]
     spill = sorted(
         (k for k in keep if k not in bench.HEADLINE),
         key=bench.COMPACT_IO_KEYS.index,
     )
+    spill_base = [k for k in spill if k not in bench.COMPACT_IO_DIAG_KEYS]
+    spill_diag = [k for k in spill if k in bench.COMPACT_IO_DIAG_KEYS]
     compact["queries"] = {k: round(results[k], 4) for k in keep}
     line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > bench.TAIL_BUDGET and spill:
-        compact["queries"].pop(spill.pop())
+    if len(line) > bench.TAIL_BUDGET:
+        compact["queries"] = {k: bench._sig4(v) for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > bench.TAIL_BUDGET and spill_diag:
+        compact["queries"].pop(spill_diag.pop())
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > bench.TAIL_BUDGET and compact["contention_suspects"]:
+        compact["contention_suspects"].pop()
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > bench.TAIL_BUDGET and spill_base:
+        compact["queries"].pop(spill_base.pop())
         line = json.dumps(compact, separators=(",", ":"))
     return compact, line
 
@@ -160,19 +172,45 @@ def test_compact_line_fits_driver_tail_capture():
 
 
 def test_compact_line_spill_priority_under_long_suspect_list():
-    """A long contention_suspects list forces io-key eviction; the
-    eviction order must follow COMPACT_IO_KEYS priority (layout/join
-    diagnostics first), never a BASELINE comparable — the r9 cold run
-    evicted io_fullread_10000c by measurement order before this pin."""
+    """A long contention_suspects list must trim suspect NAMES, never a
+    BASELINE comparable — the r12 driver run's 35-name list evicted all
+    28 io/BASELINE keys from the driver-visible JSON (VERDICT r12 #2).
+    Worst case here: 40 max-width suspect names + every headline and io
+    key at max width. Every BASELINE comparable must survive and the
+    true suspect count must stay in the line."""
     results = {k: 123.4567 for k in bench.HEADLINE + bench.COMPACT_IO_KEYS}
-    suspects = [f"io_dec_contended_key_{i}" for i in range(6)]
+    suspects = [f"events_power_user_concentration_{i:02d}" for i in range(40)]
     compact, line = _compact_line(results, suspects)
     assert len(line) <= bench.TAIL_BUDGET
+    baseline_keys = [
+        k for k in bench.COMPACT_IO_KEYS if k not in bench.COMPACT_IO_DIAG_KEYS
+    ]
+    missing = [k for k in baseline_keys if k not in compact["queries"]]
+    assert not missing, f"BASELINE comparables evicted: {missing}"
+    # the count survives any trimming; the name list is capped
+    assert compact["suspects_n"] == 40
+    assert len(compact["contention_suspects"]) <= bench.SUSPECTS_COMPACT_MAX
+    # diagnostics (layout/join) are the sacrificial rows
     dropped = [k for k in bench.COMPACT_IO_KEYS if k not in compact["queries"]]
-    assert dropped, "test needs a budget overflow to exercise the spill"
-    # evictions come strictly from the tail of COMPACT_IO_KEYS
-    assert dropped == bench.COMPACT_IO_KEYS[-len(dropped):]
-    assert "io_fullread_10000c" in compact["queries"]
+    assert all(k in bench.COMPACT_IO_DIAG_KEYS for k in dropped)
+
+
+def test_compact_line_clean_day_keeps_suspect_names_and_io_grid():
+    """On a clean day (few suspects) the line keeps the named suspects
+    AND every BASELINE comparable — trimming only ever reaches the
+    layout/join diagnostics."""
+    # realistic clean-day widths: headline rows ~1 s, io rows sub-1 s
+    # (BENCH_r11's real line: 1889 B with 28 io keys and 0 suspects)
+    results = {k: 1.2345 for k in bench.HEADLINE}
+    results.update({k: 0.1234 for k in bench.COMPACT_IO_KEYS})
+    suspects = ["unigram_logprob_score", "stream_stream_join"]
+    compact, line = _compact_line(results, suspects)
+    assert len(line) <= bench.TAIL_BUDGET
+    assert compact["contention_suspects"] == sorted(suspects)
+    baseline_keys = [
+        k for k in bench.COMPACT_IO_KEYS if k not in bench.COMPACT_IO_DIAG_KEYS
+    ]
+    assert all(k in compact["queries"] for k in baseline_keys)
 
 
 def test_drift_ratio_collection():

@@ -19,37 +19,47 @@ from gresearch_parquet_benchmarking_spark.operators.registry import (
 
 WINDOW = 50
 
-# Round-12 window (VERDICT r11 "Next round" #1, rotation planned in
-# CLAUDE.md during r11): ALL 43 remaining r7-stale rows + the 7 oldest
-# r8-stale, in staleness-ledger order, with dedup_multimodal_phash
-# promoted to slot 0 (its decode kernel changed in both r11 and r12 —
-# the only row whose semantics moved twice since its last driver hash).
+# Round-13 window (VERDICT r12 "Next round" #3, rotation planned in
+# CLAUDE.md during r12): the 38 remaining r8-stale rows + the 5
+# multimodal_* rows (r11 signal but the audio container went WAVT→
+# RIFF/WAVE in r12, so no driver hash covers the current payload
+# semantics) + the 7 oldest r9-stale, all in staleness-ledger order.
 # The canonical list lives in registry._WINDOW_PRIORITY; these tests
 # pin that the listing honors it AND that the composition matches the
 # staleness ledger in the committed CORRECTNESS artifacts.
 MUST_BE_IN_WINDOW = list(_WINDOW_PRIORITY)
 
-# The 7 r8-stale rows granted slots after the r7 cohort (oldest in the
+# The 5 rows with r11 signal granted slots because their payload
+# semantics changed AFTER that signal (r12 RIFF/WAVE upgrade).
+MULTIMODAL_RESEED = {
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_size_by_kind",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+}
+
+# The 7 r9-stale rows granted slots after the r8 cohort (oldest in the
 # ledger, per the written plan).
-R8_OLDEST = {
-    "join_full_outer",
-    "join_cross_small",
-    "window_running_total",
-    "window_lag_lead",
-    "window_moving_avg",
-    "topk_per_group",
-    "agg_distinct",
+R9_OLDEST = {
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
 }
 
 # Rotation discipline bound (VERDICT r10 "Next round" #2): once the
 # window rotates every round, no registered query's last driver signal
 # may lag the newest committed CORRECTNESS artifact by more than
-# MAX_STALENESS rounds. After r11 the oldest signal is r7 (lag 4);
+# MAX_STALENESS rounds. After r12 the oldest signal is r8 (lag 4);
 # each planned rotation keeps the lag at 4 — 5 is the tripwire.
 MAX_STALENESS = 5
 
 
-def test_round12_window_composition():
+def test_round13_window_composition():
     names = list(all_queries())
     window = names[:WINDOW]
     assert window == MUST_BE_IN_WINDOW, (
@@ -84,36 +94,44 @@ def _latest_committed_round() -> int:
     return max(rounds, default=0)
 
 
-def test_round12_window_slots_justified():
+def test_round13_window_slots_justified():
     """Every window slot must go to (a) a never-driver-checked query,
-    (b) an r7-stale query (the stalest cohort after r11), or (c) one of
-    the 7 named oldest r8-stale rows. No slot may be wasted on a
-    fresher query."""
-    last = _last_driver_signal(through_round=11)
+    (b) an r8-stale query (the stalest cohort after r12), (c) one of
+    the 5 multimodal rows whose payload semantics changed after their
+    r11 signal, or (d) one of the 7 named oldest r9-stale rows. No slot
+    may be wasted on a fresher query."""
+    last = _last_driver_signal(through_round=12)
     if not last:  # artifacts absent in a bare checkout — nothing to pin
         return
     wasted = [
         n
         for n in MUST_BE_IN_WINDOW
-        if n in last and last[n] != 7 and n not in R8_OLDEST
+        if n in last
+        and last[n] != 8
+        and n not in R9_OLDEST
+        and n not in MULTIMODAL_RESEED
     ]
     assert wasted == [], f"window slots wasted on fresh queries: {wasted}"
-    r8 = [n for n in MUST_BE_IN_WINDOW if last.get(n) == 8]
-    assert set(r8) == R8_OLDEST, (
-        f"r8 slots must be exactly the named oldest seven, got: {sorted(r8)}"
+    r9 = [
+        n
+        for n in MUST_BE_IN_WINDOW
+        if last.get(n) == 9 and n not in MULTIMODAL_RESEED
+    ]
+    assert set(r9) == R9_OLDEST, (
+        f"r9 slots must be exactly the named oldest seven, got: {sorted(r9)}"
     )
 
 
-def test_round12_window_covers_all_r7_stale():
-    """The r7-stale cohort must be retired COMPLETELY this round —
-    after r12 no registered query's last signal predates r8."""
-    last = _last_driver_signal(through_round=11)
+def test_round13_window_covers_all_r8_stale():
+    """The r8-stale cohort must be retired COMPLETELY this round —
+    after r13 no registered query's last signal predates r9."""
+    last = _last_driver_signal(through_round=12)
     if not last:
         return
     registered = set(all_queries())
-    oldest = sorted(n for n, r in last.items() if r == 7 and n in registered)
+    oldest = sorted(n for n, r in last.items() if r == 8 and n in registered)
     missing = [n for n in oldest if n not in set(MUST_BE_IN_WINDOW)]
-    assert missing == [], f"r7-stale queries left out of the window: {missing}"
+    assert missing == [], f"r8-stale queries left out of the window: {missing}"
 
 
 def test_standing_staleness_bound():
