@@ -364,7 +364,6 @@ def graph_pagerank_bipartite(
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    ranks_cached = None  # previous iteration's persisted table, if any
     for _ in range(PR_ITERS):
         mass = (
             edges.join(ranks, edges.src == ranks.node)
@@ -399,16 +398,18 @@ def graph_pagerank_bipartite(
         # arithmetic is untouched, ranks stay bit-identical (A/B +
         # oracle re-gate in OPTIMIZATION_r12.md).
         if eager_ranks:
-            prev = ranks_cached
-            ranks = ranks_cached = track_persist(ranks)
+            ranks = track_persist(ranks)
             ranks.count()
-            # The superseded iteration's table is dead once the new
-            # barrier has materialized (ADVICE r12): unpersist it now
-            # instead of accumulating PR_ITERS model-sized caches until
-            # release_persists(). It stays registered there too —
-            # unpersist is idempotent, so the final release is a no-op.
-            if prev is not None:
-                prev.unpersist()
+            # Do NOT unpersist the superseded iteration here (ADVICE
+            # r12 suggested it; measured 2.9 s → 28 s): a non-cascading
+            # uncache makes Spark's CacheManager REBUILD every cache
+            # entry whose plan contains the removed InMemoryRelation —
+            # the just-counted new ranks cache is invalidated and
+            # re-materializes lazily from the full uncached lineage,
+            # destroying the barrier. The PR_ITERS model-sized tables
+            # stay cached until release_persists(); that growth is
+            # bounded by iterations × |nodes| rows, which is the
+            # algorithm's working set, not a leak.
     top = ranks.orderBy(F.desc("pr"), F.asc("node")).limit(PR_TOP)
     wr = W.orderBy(F.desc("pr"), F.asc("node"))
     return (

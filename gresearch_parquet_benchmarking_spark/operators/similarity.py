@@ -291,7 +291,9 @@ def _nearest_centroids(nprobe: int, cents: Column | None = None) -> Column:
     return F.slice(ranked, 1, nprobe)
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int, eager_cents: bool = True
+) -> DataFrame:
     """IVF approximate nearest neighbor: centroids = exact per-label
     mean vectors (decimal-summed per dimension → identical across
     engines), every vector assigned to its nearest centroid, queries
@@ -301,16 +303,26 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     map-side (_centroid_array — the corpus is never shuffled for it);
     the candidate join shuffles on the bucket id only, and nprobe
     multiplies only the (tiny) probe side of the join — corpus vectors
-    are never replicated."""
+    are never replicated.
+
+    ``eager_cents`` (r13, VERDICT r12 #5 — default ON): persist+count
+    the single-row centroid array before the two broadcast builds that
+    consume it (bucket subtree + the queries broadcast). The r11 claim
+    that exchange reuse deduplicates the identical BroadcastExchange
+    held only WITHIN one job — the queries broadcast is built in its
+    own job, which re-ran the corpus-wide centroid aggregate (the r12
+    eager_centroids lesson: broadcast builds don't share exchange
+    output across jobs). Alternating A/B at sf0.1: nprobe=1
+    2.046→1.309 s median, nprobe=2 2.560→1.814 s (BENCH.md r13)."""
     vec = _vectors_spread(spark, sf_dir)
 
-    # the single-row centroid array appears in both the bucket and the
-    # probe subtree; the identical BroadcastExchange is deduplicated by
-    # exchange reuse, so the corpus-wide centroid aggregate runs once
-    # without a persist barrier
-    with_c = vec.crossJoin(
-        F.broadcast(_centroid_array(_label_centroids(vec)))
-    ).withColumn("nv", l2_norm(F.col("v")))
+    cents = _centroid_array(_label_centroids(vec))
+    if eager_cents:
+        cents = track_persist(cents)
+        cents.count()
+    with_c = vec.crossJoin(F.broadcast(cents)).withColumn(
+        "nv", l2_norm(F.col("v"))
+    )
     bucketed = with_c.select(
         "vec_id",
         "v",
@@ -777,7 +789,9 @@ def sql_davg_ccos() -> str:
 
 
 @query("kmeans_train", oracle=_kmeans_sql)
-def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, eager_centroids: bool = True
+) -> DataFrame:
     """Spherical k-means trained for KMEANS_ITERS (3) Lloyd iterations:
     seed centroids = the first K vectors, assignment by max cosine
     (ties to the lowest cluster id), centroid update = exact-decimal
@@ -828,6 +842,21 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
                 .select("c_id", F.transform("pairs", lambda p: p["cx"]).alias("cv"))
             )
+            if eager_centroids:
+                # r13 (VERDICT r12 #6 — default ON): per-iteration
+                # persist+count barrier, the eager_centroids pattern.
+                # The r9 "single consumer per iteration" lazy rationale
+                # measured wrong on re-test: truncating the nested
+                # 3-iteration lineage beat the lazy chain consistently
+                # (alternating A/B at sf0.1: 2.424→1.508 s median,
+                # every eager trial under every lazy trial — BENCH.md
+                # r13). K-row model tables stay cached until
+                # release_persists(): unpersisting the superseded
+                # iteration would make the CacheManager rebuild the
+                # dependent new cache and discard its materialized
+                # data (measured 10x blowup on pagerank, BENCH.md r13).
+                centroids = track_persist(centroids)
+                centroids.count()
     from gresearch_parquet_benchmarking_spark.operators.registry import davg
 
     return (
@@ -1759,7 +1788,9 @@ def _bucket_assignment(vec: DataFrame) -> DataFrame:
     ORDER BY query_id, rank
     """,
 )
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, eager_sub: bool = True
+) -> DataFrame:
     """IVF-PQ asymmetric-distance search (the Jégou et al. IVFADC
     composition, the index layout production vector stores actually
     deploy at 100 TB): the corpus lives as 8 PQ codeword ids per
@@ -1803,6 +1834,18 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     sub = _pq_sub(vecn)
+    if eager_sub:
+        # r13 (default ON): persist the (corpus × M)-row subvector
+        # table — its lineage (normalize + slice-explode over the full
+        # corpus) is otherwise re-run by the codebook build AND the
+        # main codes plan (the qsub consumer is filter-pushed and
+        # cheap). No count barrier: the codebook build is the first
+        # consumer and fills the cache as a side effect. Alternating
+        # A/B at sf0.1 (3 rounds, BENCH.md r13): warm medians equal
+        # (~3.1 s both), but lazy windows hit 5.5-24.6 s cold/semi-warm
+        # while eager never exceeded 3.8 s — the persist removes the
+        # duplicated corpus pass that makes the cold path pathological.
+        sub = track_persist(sub)
     # persist the 80-row codebook: it feeds BOTH the broadcast argmin
     # array and the query distance table — without the persist the
     # corpus-wide codebook aggregation runs once per consumer

@@ -40,18 +40,21 @@ def _dedup_group(
         return
     # Scan EVERY chunk: a key's rows can span multiple Arrow chunks in
     # one micro-batch, and the min doc_id may arrive in a later chunk.
-    first = None
+    # (plain column min, not nsmallest — this function runs once per
+    # DISTINCT FINGERPRINT per batch, so per-call cost is the whole
+    # operator's cost; guide §4.2)
+    first_id = None
     for pdf in batches:
         if len(pdf):
-            cand = pdf.nsmallest(1, "doc_id")
-            if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
-                first = cand
-    if first is not None:
+            m = int(pdf["doc_id"].min())
+            if first_id is None or m < first_id:
+                first_id = m
+    if first_id is not None:
         state.update((True,))
         yield pd.DataFrame(
             {
                 "fingerprint": [key[0]],
-                "doc_id": first["doc_id"].iloc[0],
+                "doc_id": [first_id],
                 "first_seen_batch": [True],
             }
         )

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -50,21 +51,44 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "user_id long, v long, c long, p long"
 STATE_SCHEMA = "v long, c long, p long"
 
+# event-type codes, assigned JVM-side (guide §4/§2.3: the Python
+# boundary ships a tinyint instead of a string per event, and the
+# kernel masks on integers instead of string equality). 3 = any other
+# event type: those rows carry no funnel signal but MUST still cross —
+# a user whose batch has only 'error'/'signup' rows must still emit
+# (and count in n_users), so no JVM-side filter may drop them.
+_VIEW, _CLICK, _PURCHASE = 0, 1, 2
 
-def _advance(v, c, p, pdf: pd.DataFrame):
-    """Exact min-based stage advancement over one batch's events."""
-    et, ts = pdf["event_type"], pdf["ts_us"]
+
+def _code_events(stream: DataFrame) -> DataFrame:
+    """(user_id, et tinyint, ts_us) — the minimal funnel projection."""
+    import pyspark.sql.functions as F
+
+    et = (
+        F.when(F.col("event_type") == "view", _VIEW)
+        .when(F.col("event_type") == "click", _CLICK)
+        .when(F.col("event_type") == "purchase", _PURCHASE)
+        .otherwise(3)
+        .cast("tinyint")
+    )
+    return stream.select("user_id", et.alias("et"), "ts_us")
+
+
+def _advance(v, c, p, et: np.ndarray, ts: np.ndarray):
+    """Exact min-based stage advancement over one batch's events
+    (vectorized on numpy arrays — identical mask/min semantics to the
+    original pandas-Series form, pinned by test_streaming_stateful)."""
     if v is None:
-        views = ts[et == "view"]
-        if len(views):
+        views = ts[et == _VIEW]
+        if views.size:
             v = int(views.min())
     if v is not None and c is None:
-        clicks = ts[(et == "click") & (ts >= v)]
-        if len(clicks):
+        clicks = ts[(et == _CLICK) & (ts >= v)]
+        if clicks.size:
             c = int(clicks.min())
     if c is not None and p is None:
-        purchases = ts[(et == "purchase") & (ts >= c)]
-        if len(purchases):
+        purchases = ts[(et == _PURCHASE) & (ts >= c)]
+        if purchases.size:
             p = int(purchases.min())
     return v, c, p
 
@@ -80,9 +104,16 @@ def _funnel_group(
         v = None if sv is None else int(sv)
         c = None if sc is None else int(sc)
         p = None if sp is None else int(sp)
-    chunks = [pdf for pdf in batches if len(pdf)]
-    if chunks:
-        v, c, p = _advance(v, c, p, pd.concat(chunks))
+    ets: list[np.ndarray] = []
+    tss: list[np.ndarray] = []
+    for pdf in batches:
+        if len(pdf):
+            ets.append(pdf["et"].to_numpy())
+            tss.append(pdf["ts_us"].to_numpy())
+    if ets:
+        et = ets[0] if len(ets) == 1 else np.concatenate(ets)
+        ts = tss[0] if len(tss) == 1 else np.concatenate(tss)
+        v, c, p = _advance(v, c, p, et, ts)
     state.update((v, c, p))
     yield pd.DataFrame({"user_id": [key[0]], "v": [v], "c": [c], "p": [p]})
 
@@ -91,8 +122,7 @@ def streaming_funnel(stream: DataFrame) -> DataFrame:
     """stream must carry (user_id long, event_type string, ts_us long).
     Emits each user's current (v, c, p) stage timestamps every batch
     the user appears in (update mode)."""
-    keyed = stream.select("user_id", "event_type", "ts_us")
-    return keyed.groupBy("user_id").applyInPandasWithState(
+    return _code_events(stream).groupBy("user_id").applyInPandasWithState(
         _funnel_group,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -109,9 +139,9 @@ BUFFERED_STATE_SCHEMA = (
     "v long, c long, p long, sealed_wm long, "
     "buf_ts array<long>, buf_et array<int>"
 )
-# event-type codes; the tie-break order on equal timestamps matches the
-# min-based batch semantics (a click at ts == first-view ts counts)
-_ET_CODE = {"view": 0, "click": 1, "purchase": 2}
+# the (ts, code) sort order on equal timestamps matches the min-based
+# batch semantics because _VIEW < _CLICK < _PURCHASE (a click at
+# ts == first-view ts counts)
 
 
 def _advance_ordered(v, c, p, events):
@@ -163,16 +193,17 @@ def _buffered_funnel_group(
     for pdf in batches:
         if not len(pdf):
             continue
-        codes = pdf["event_type"].map(_ET_CODE)
-        keep = codes.notna()
-        # drop events at or below the sealed boundary: the machine has
+        codes = pdf["et"].to_numpy()
+        ts_arr = pdf["ts_us"].to_numpy()
+        # only funnel events (codes 0-2) buffer; other types carry no
+        # signal (the group still emits, so the user still counts).
+        # Drop events at or below the sealed boundary: the machine has
         # already consumed that prefix in time order, and replaying a
         # straggler (should Spark's own late-row filter ever let one
         # through) would violate the monotone-prefix contract
-        keep &= pdf["ts_us"] > sealed_wm
+        keep = (codes < 3) & (ts_arr > sealed_wm)
         buf.extend(
-            (int(t), int(e))
-            for t, e in zip(pdf.loc[keep, "ts_us"], codes[keep])
+            (int(t), int(e)) for t, e in zip(ts_arr[keep], codes[keep])
         )
     ripe = [ev for ev in buf if ev[0] <= wm_us]
     if ripe:
@@ -203,7 +234,7 @@ def streaming_funnel_buffered(stream: DataFrame, delay: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     keyed = (
-        stream.select("user_id", "event_type", "ts_us")
+        _code_events(stream)
         .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
         .withWatermark("ts_ts", delay)
     )
