@@ -29,6 +29,16 @@ from gresearch_parquet_benchmarking_spark.streaming.events_stream import (
 TREND_WINDOW_US = 6 * 3600 * 1_000_000  # 6-hour tumbling windows
 TREND_TOP = 3
 
+# State-store partition count for this module's stateful aggregates
+# (r13; the stream_stream_join precedent). Their state is bounded by
+# the AGGREGATE cardinality — |windows|·|event types| counts,
+# |windows|·PSI_STREAM_BINS bin counts — not by event volume, so the
+# fixed per-partition-per-batch store cost (open + delta commit)
+# dominates at 32 partitions at any scale. Size to state volume: a
+# cluster deployment with more windows in flight passes a larger
+# value through the builders' ``state_partitions`` parameter.
+TREND_STATE_PARTITIONS = 8
+
 
 @query(
     "stream_topk_trending",
@@ -52,7 +62,10 @@ TREND_TOP = 3
     ORDER BY window_start_us, rnk
     """,
 )
-def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_topk_trending(
+    spark: SparkSession, sf_dir: str,
+    state_partitions: int | None = TREND_STATE_PARTITIONS
+) -> DataFrame:
     """Top-{TREND_TOP} event types per 6-hour tumbling window with
     their share of window traffic. The streaming half is a watermarked
     window count (epoch-aligned, so the batch oracle's integer-div
@@ -66,7 +79,7 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts_ts", "6 hours"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = _run_to_table(agg, "complete")
+    out = _run_to_table(agg, "complete", state_partitions=state_partitions)
     counts = out.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "event_type",
@@ -152,7 +165,10 @@ _PSI_CUT_LIST = ", ".join(
     ORDER BY ws
     """,
 )
-def stream_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_psi_value_drift(
+    spark: SparkSession, sf_dir: str,
+    state_partitions: int | None = TREND_STATE_PARTITIONS
+) -> DataFrame:
     """Per-window Population Stability Index of the event ``value``
     distribution against the full-history reference — distribution
     drift as a STREAMING monitor (the operators/drift.py PSI, deployed
@@ -208,7 +224,7 @@ def stream_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts_ts", "6 hours"), "bin")
         .agg(F.count(F.lit(1)).alias("n_cur"))
     )
-    cur = _run_to_table(agg, "complete").select(
+    cur = _run_to_table(agg, "complete", state_partitions=state_partitions).select(
         F.unix_micros(F.col("window.start")).alias("ws"), "bin", "n_cur"
     )
     cur = track_persist(cur)
@@ -299,7 +315,10 @@ def stream_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hashed GROUP BY event_type ORDER BY event_type
     """,
 )
-def stream_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_integrity_checksum(
+    spark: SparkSession, sf_dir: str,
+    state_partitions: int | None = TREND_STATE_PARTITIONS
+) -> DataFrame:
     """Streaming twin of ``integrity_partition_checksums``
     (operators/analytics2.py): per-event-type XOR content checksums
     maintained BY THE STREAM — the continuous-audit posture where a
@@ -340,4 +359,6 @@ def stream_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_hash"),
         )
     )
-    return _run_to_table(agg, "complete").orderBy("event_type")
+    return _run_to_table(
+        agg, "complete", state_partitions=state_partitions
+    ).orderBy("event_type")

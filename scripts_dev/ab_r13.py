@@ -147,7 +147,31 @@ TARGETS = {
         lambda s: sim.kmeans_train(s, SF, eager_centroids=True),
         ("lazy", "eager"),
     ),
+    "psi": (
+        "stream_psi_value_drift state_partitions",
+        lambda s: _trending().stream_psi_value_drift(s, SF, state_partitions=None),
+        lambda s: _trending().stream_psi_value_drift(s, SF, state_partitions=8),
+        ("default-32", "parts-8"),
+    ),
+    "trend": (
+        "stream_topk_trending state_partitions",
+        lambda s: _trending().stream_topk_trending(s, SF, state_partitions=None),
+        lambda s: _trending().stream_topk_trending(s, SF, state_partitions=8),
+        ("default-32", "parts-8"),
+    ),
+    "chk": (
+        "stream_integrity_checksum state_partitions",
+        lambda s: _trending().stream_integrity_checksum(s, SF, state_partitions=None),
+        lambda s: _trending().stream_integrity_checksum(s, SF, state_partitions=8),
+        ("default-32", "parts-8"),
+    ),
 }
+
+
+def _trending():
+    from gresearch_parquet_benchmarking_spark.streaming import trending
+
+    return trending
 
 
 def main() -> None:

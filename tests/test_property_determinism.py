@@ -135,7 +135,7 @@ def test_ordered_machine_equals_batch_semantics(evs, split):
     must equal the one-shot min-based batch semantics the lean funnel
     (and the oracle SQL) computes — the composition property the whole
     out-of-order design rests on. Pure Python: no Spark session."""
-    import pandas as pd
+    import numpy as np
 
     from gresearch_parquet_benchmarking_spark.streaming.stateful_funnel import (
         _advance,
@@ -143,12 +143,16 @@ def test_ordered_machine_equals_batch_semantics(evs, split):
     )
 
     pairs = [(ts, code) for code, ts in evs]
-    # one-shot batch semantics over the full multiset
-    names = {0: "view", 1: "click", 2: "purchase"}
-    pdf = pd.DataFrame(
-        {"event_type": [names[c] for _, c in pairs], "ts_us": [t for t, _ in pairs]}
+    # one-shot batch semantics over the full multiset (the r13 kernel
+    # takes coded tinyint/ts numpy arrays; evs codes ARE the kernel's
+    # _VIEW/_CLICK/_PURCHASE codes)
+    et = np.array([c for _, c in pairs], dtype=np.int8)
+    ts_arr = np.array([t for t, _ in pairs], dtype=np.int64)
+    want = (
+        _advance(None, None, None, et, ts_arr)
+        if len(pairs)
+        else (None, None, None)
     )
-    want = _advance(None, None, None, pdf) if len(pdf) else (None, None, None)
     # sequential machine over the sorted stream, split into two sealed
     # prefixes at an arbitrary point of the SORTED order
     ordered = sorted(pairs)

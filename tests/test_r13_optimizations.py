@@ -98,3 +98,22 @@ def test_pagerank_keeps_superseded_iteration_caches():
     assert "unpersist" not in src.replace(
         "Do NOT unpersist", ""
     ), "mid-loop unpersist reintroduced — see BENCH.md r13 cache-rebuild lesson"
+
+
+def test_trending_trio_state_partitions_default():
+    """The trending-module stateful aggregates (topk/psi/checksum)
+    default to TREND_STATE_PARTITIONS=8 state-store partitions (r13
+    A/B: psi 5.17->2.79 s, trend 2.75->1.68, chk 1.87->0.99 median —
+    their state is aggregate-cardinality-bounded, so the fixed
+    per-partition store cost dominated at 32). The parameter stays
+    exposed so a cluster caller can size to state volume."""
+    from gresearch_parquet_benchmarking_spark.streaming import trending
+
+    assert trending.TREND_STATE_PARTITIONS == 8
+    for fn in (
+        trending.stream_topk_trending,
+        trending.stream_psi_value_drift,
+        trending.stream_integrity_checksum,
+    ):
+        default = inspect.signature(fn).parameters["state_partitions"].default
+        assert default == trending.TREND_STATE_PARTITIONS, fn.__name__
