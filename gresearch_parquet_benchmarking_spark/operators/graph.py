@@ -549,18 +549,31 @@ def _copurchase_pairs(li: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_copurchase(spark: SparkSession, sf_dir: str):
+def _oriented_copurchase(spark: SparkSession, sf_dir: str, eager: bool = False):
     """(pairs, deg, oriented) for the part co-purchase graph, each
     persisted via track_persist: distinct undirected edges, per-node
     degrees, and edges oriented low-rank → high-rank (rank = degree·2³²
     + node). Shared by graph_triangle_count and the scale-shape probe
     (plans/scale_probes.py), which derives the oriented wedge count
-    Σ_src C(outdeg, 2) from exactly this relation."""
+    Σ_src C(outdeg, 2) from exactly this relation.
+
+    ``eager`` (r13, default OFF) count()-barriers the pairs and
+    oriented caches before returning — the hypothesis was that the
+    triangle query's broadcast-build jobs (ecnt, tri) race to fill the
+    lazy caches (the ann_ivf_pq_topk eager_sub pathology). The r13
+    alternating A/B did NOT confirm a win (lazy median 8.74 s / min
+    4.12 vs eager 9.32 / 5.71 in a degrading host window —
+    OPTIMIZATION_r13.md): unlike the PQ case the expensive lineage
+    here has effectively ONE expensive consumer (tri's build; ecnt is
+    a cheap count), so the barrier only adds jobs. Kept as a toggle
+    for a quieter-host re-test (the kmeans_train precedent)."""
     from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = track_persist(_copurchase_pairs(li))
+    if eager:
+        pairs.count()
     deg = track_persist(
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -580,6 +593,8 @@ def _oriented_copurchase(spark: SparkSession, sf_dir: str):
             F.when(lo, F.col("rkv")).otherwise(F.col("rku")).alias("rkdst"),
         )
     )
+    if eager:
+        oriented.count()
     return pairs, deg, oriented
 
 
@@ -622,7 +637,9 @@ def _oriented_copurchase(spark: SparkSession, sf_dir: str):
     FROM stats CROSS JOIN ecnt CROSS JOIN tri
     """,
 )
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangle_count(
+    spark: SparkSession, sf_dir: str, eager_base: bool = False
+) -> DataFrame:
     """Triangle count + global clustering coefficient of the part
     co-purchase graph (parts sharing an order), by DEGREE-ORIENTED
     wedge counting — the algorithm that makes triangle enumeration
@@ -646,7 +663,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts + 3·triangles/wedges), so nothing wide ever leaves the
     executors. The 'curse of the last reducer' (one hub generating
     O(deg²) wedges) is exactly what the orientation eliminates."""
-    pairs, deg, oriented = _oriented_copurchase(spark, sf_dir)
+    pairs, deg, oriented = _oriented_copurchase(spark, sf_dir, eager=eager_base)
     e1 = oriented.select(
         F.col("src").alias("s1"), F.col("dst").alias("d1"), F.col("rkdst").alias("k1")
     )

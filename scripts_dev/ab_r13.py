@@ -165,7 +165,19 @@ TARGETS = {
         lambda s: _trending().stream_integrity_checksum(s, SF, state_partitions=8),
         ("default-32", "parts-8"),
     ),
+    "tri": (
+        "graph_triangle_count eager_base",
+        lambda s: _graph().graph_triangle_count(s, SF, eager_base=False),
+        lambda s: _graph().graph_triangle_count(s, SF, eager_base=True),
+        ("lazy", "eager"),
+    ),
 }
+
+
+def _graph():
+    from gresearch_parquet_benchmarking_spark.operators import graph
+
+    return graph
 
 
 def _trending():
