@@ -560,13 +560,13 @@ def _oriented_copurchase(spark: SparkSession, sf_dir: str, eager: bool = False):
     ``eager`` (r13, default OFF) count()-barriers the pairs and
     oriented caches before returning — the hypothesis was that the
     triangle query's broadcast-build jobs (ecnt, tri) race to fill the
-    lazy caches (the ann_ivf_pq_topk eager_sub pathology). The r13
-    alternating A/B did NOT confirm a win (lazy median 8.74 s / min
-    4.12 vs eager 9.32 / 5.71 in a degrading host window —
-    OPTIMIZATION_r13.md): unlike the PQ case the expensive lineage
-    here has effectively ONE expensive consumer (tri's build; ecnt is
-    a cheap count), so the barrier only adds jobs. Kept as a toggle
-    for a quieter-host re-test (the kmeans_train precedent)."""
+    lazy caches (the ann_ivf_pq_topk eager_sub pathology). THREE r13
+    alternating A/Bs were inconsistent (medians lazy/eager 8.74/9.32,
+    7.60/5.48, 5.07/5.43 s — OPTIMIZATION_r13.md): unlike the PQ case
+    the expensive lineage has effectively ONE expensive consumer
+    (tri's build; ecnt is a cheap count), and the query's 4–16 s
+    per-trial swing is host state, so no reliable win exists. Kept as
+    a toggle for a clean-host re-test (the kmeans_train precedent)."""
     from gresearch_parquet_benchmarking_spark.operators.registry import track_persist
     from gresearch_parquet_benchmarking_spark.sources.tables import load_table
 
